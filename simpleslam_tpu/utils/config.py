@@ -1,0 +1,119 @@
+"""Config system: a comment-tolerant JSON params singleton.
+
+Mirrors the reference's config layer (``config/params.hpp:17-48``): a single
+JSON file (``//`` comments allowed), one process-wide instance, and the same
+schema keys as ``config/params.json`` so reference configs load unchanged.
+Unlike the reference (path compiled in via -DCONFIG_FILE), the path is set at
+runtime via ``Params.load(path)`` or falls back to built-in defaults.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import re
+import threading
+from typing import Any, Optional
+
+_COMMENT_RE = re.compile(r'("(?:[^"\\]|\\.)*")|//[^\n]*')
+
+
+def _strip_comments(text: str) -> str:
+    # Remove // comments but never inside string literals.
+    return _COMMENT_RE.sub(lambda m: m.group(1) or "", text)
+
+
+DEFAULT_PARAMS: dict = {
+    "mode": "lo",  # "lo" (lidar-only) or "lio" (EKF wheel+imu local odometry)
+    "cores": 4,  # kept for config parity; TPU kernels ignore it
+    "downSampleVoxelGridSize": 0.5,
+    "pcd_file": "",
+    "saveMapDir": "",
+    "rosbag": "",
+    "tf": {"lidar_height": 2.0},
+    "dataproxy": {
+        "lidar": "/lidar_points",
+        "lidar_size": 10,
+        "imu": "/imu/data",
+        "wheel": "/odom/raw",
+    },
+    "vis": {"enable": False, "align": "/aligned", "submap": "/globalmap"},
+    "backend": {
+        "lc": {
+            "enable": False,
+            "contextDownSampleGridSize": 0.5,
+            "historySubmapRange": 1,
+            "fitnessThreshold": 0.3,
+        },
+        "context": {
+            "scancontext": {
+                "numExcludeRecent": 40,
+                "buildTreeGap": 10,
+                "numCandidatesFromTree": 10,
+                "searchRatio": 0.1,
+                "scDistThres": 0.4,
+            }
+        },
+    },
+    "frontend": {"pcr": "loam", "local_size": 100, "global_size": 10},
+    # TPU-native capacity knobs (no reference counterpart): static shapes
+    # everything is padded to. Chosen so XLA compiles each kernel once.
+    "tpu": {
+        "scan_capacity": 32768,      # raw scan points
+        "ds_scan_capacity": 8192,    # downsampled scan points fed to PCR
+        "submap_capacity": 131072,   # submap points
+        "map_voxel_capacity": 65536, # voxel slots in the neighbor map
+        "max_pts_per_voxel": 8,
+        "max_keyframes": 2048,
+        "max_edges": 8192,
+    },
+}
+
+
+class Params:
+    """Process-wide parameter singleton (reference ``config::Params``).
+
+    ``getInstance()`` returns a deep copy like the reference returns a json
+    copy (params.hpp:38-41) so callers can't mutate shared state.
+    """
+
+    _lock = threading.Lock()
+    _params: Optional[dict] = None
+
+    @classmethod
+    def load(cls, path_or_dict: Any = None) -> dict:
+        with cls._lock:
+            base = copy.deepcopy(DEFAULT_PARAMS)
+            if path_or_dict is None:
+                loaded: dict = {}
+            elif isinstance(path_or_dict, dict):
+                loaded = path_or_dict
+            else:
+                with open(path_or_dict, "r") as f:
+                    loaded = json.loads(_strip_comments(f.read()))
+            _deep_update(base, loaded)
+            cls._params = base
+            return copy.deepcopy(base)
+
+    @classmethod
+    def get_instance(cls) -> dict:
+        with cls._lock:
+            if cls._params is None:
+                cls._params = copy.deepcopy(DEFAULT_PARAMS)
+            return copy.deepcopy(cls._params)
+
+    # camelCase alias for reference-API familiarity
+    getInstance = get_instance
+
+    @classmethod
+    def reset(cls) -> None:
+        with cls._lock:
+            cls._params = None
+
+
+def _deep_update(base: dict, new: dict) -> None:
+    for k, v in new.items():
+        if isinstance(v, dict) and isinstance(base.get(k), dict):
+            _deep_update(base[k], v)
+        else:
+            base[k] = v
