@@ -1,0 +1,307 @@
+"""Voxel-grid machinery: downsampling and the voxel-slab neighbor map.
+
+This is the keystone that replaces every pointer-chasing spatial index in the
+reference with one TPU-friendly design (SURVEY.md §7): points are bucketed
+into a sorted voxel table built with one sort + segment reductions, and all
+neighbor queries become batched gathers over a static 3x3x3 (or 7-cell)
+voxel neighborhood.
+
+Covers the roles of:
+- ``pcp::voxelDownSample`` / ``VoxelDownSampleV2`` (common/pcp/pcp.hpp:14-263)
+  — centroid-per-voxel downsampling with a max-points-per-voxel cap,
+- nanoflann kd-trees (``third_parties/nanoflann``; adaptors
+  ``pcl_adaptor.hpp``/``kfs_adaptor.hpp``) — kNN / fixed-radius gather,
+- ``pclomp::VoxelGridCovariance`` + ``GaussianVoxelMap`` (ndt_omp /
+  fast_vgicp_voxel.hpp) — per-voxel Gaussian moments for NDT/VGICP.
+
+Coordinate convention: voxel coords are ``floor((p - origin) / grid)``
+packed 10 bits/axis (+-512 voxels around ``origin``); out-of-range or
+padding points get an INVALID key that sorts to the tail. All shapes are
+static; everything is jit/vmap-safe.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pointcloud import PAD_COORD, PointCloud
+
+_BITS = 10
+_HALF = 1 << (_BITS - 1)  # 512
+_RANGE = 1 << _BITS  # 1024
+INVALID_KEY = jnp.int32(1 << 30)  # sorts after any packed key (max 2^30 - 1)
+
+
+def voxel_coords(xyz: jax.Array, origin: jax.Array, grid: jax.Array) -> jax.Array:
+    """(..., 3) points -> (..., 3) int32 voxel coords, offset to [0, 1024)."""
+    return jnp.floor((xyz - origin) / grid).astype(jnp.int32) + _HALF
+
+
+def pack_coords(c: jax.Array, valid: jax.Array) -> jax.Array:
+    """(..., 3) int32 coords + validity -> packed int32 key (INVALID if out of range)."""
+    in_range = jnp.all((c >= 0) & (c < _RANGE), axis=-1)
+    key = (c[..., 0] << (2 * _BITS)) | (c[..., 1] << _BITS) | c[..., 2]
+    return jnp.where(valid & in_range, key, INVALID_KEY)
+
+
+def voxel_keys(xyz: jax.Array, mask: jax.Array, origin: jax.Array, grid) -> jax.Array:
+    grid = jnp.asarray(grid, xyz.dtype)
+    return pack_coords(voxel_coords(xyz, origin, grid), mask)
+
+
+def _sorted_segments(keys: jax.Array, xyz: jax.Array, intensity: jax.Array):
+    """Sort points by voxel key and derive segment structure.
+
+    Returns (keys_s, xyz_s, inten_s, seg_id, rank, num_segments) where
+    ``seg_id`` is the dense index of each point's voxel in key order (== N
+    for invalid points, so downstream scatters drop them) and ``rank`` is the
+    point's position within its voxel.
+    """
+    n = keys.shape[0]
+    order = jnp.argsort(keys)
+    keys_s = keys[order]
+    xyz_s = xyz[order]
+    inten_s = intensity[order]
+    prev = jnp.concatenate([jnp.full((1,), -1, keys_s.dtype), keys_s[:-1]])
+    is_new = keys_s != prev
+    seg_id = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    start = jax.lax.cummax(jnp.where(is_new, jnp.arange(n, dtype=jnp.int32), 0))
+    rank = jnp.arange(n, dtype=jnp.int32) - start
+    invalid = keys_s == INVALID_KEY
+    seg_id = jnp.where(invalid, n, seg_id)
+    num_segments = jnp.max(jnp.where(invalid, 0, seg_id + 1))
+    return keys_s, xyz_s, inten_s, seg_id, rank, num_segments
+
+
+@partial(jax.jit, static_argnames=("max_pts_per_voxel", "min_pts_per_voxel"))
+def voxel_downsample(pc: PointCloud, grid, origin: Optional[jax.Array] = None,
+                     max_pts_per_voxel: int = 20,
+                     min_pts_per_voxel: int = 0) -> PointCloud:
+    """Centroid-per-voxel downsample (VoxelDownSampleV2 semantics).
+
+    Parity with ``pcp.hpp:78-154``: each voxel contributes the centroid of at
+    most ``max_pts_per_voxel`` of its points (insertion order = input order;
+    we match by taking the first ``max`` in sorted-stable order), the output
+    point inherits the intensity of the voxel's first point, and voxels with
+    ``<= min_pts_per_voxel`` points are dropped. Output occupies the same
+    capacity, compacted to the front.
+    """
+    if origin is None:
+        origin = jnp.zeros((3,), pc.xyz.dtype)
+    grid = jnp.asarray(grid, pc.xyz.dtype)
+    n = pc.capacity
+    keys = voxel_keys(pc.xyz, pc.mask, origin, grid)
+    keys_s, xyz_s, inten_s, seg_id, rank, num_segments = _sorted_segments(
+        keys, pc.xyz, pc.intensity
+    )
+    contrib = rank < max_pts_per_voxel
+    seg_for_sum = jnp.where(contrib, seg_id, n)
+    sums = jax.ops.segment_sum(
+        jnp.where(contrib[:, None], xyz_s, 0.0), seg_for_sum, num_segments=n
+    )
+    counts = jax.ops.segment_sum(
+        contrib.astype(jnp.int32), seg_for_sum, num_segments=n
+    )
+    full_counts = jax.ops.segment_sum(
+        jnp.ones_like(seg_id), jnp.where(seg_id < n, seg_id, n), num_segments=n
+    )
+    centroids = sums / jnp.maximum(counts, 1)[:, None].astype(sums.dtype)
+    # first point's intensity per voxel
+    first_inten = jnp.zeros((n,), inten_s.dtype).at[
+        jnp.where((rank == 0) & (seg_id < n), seg_id, n)
+    ].add(inten_s, mode="drop")
+    seg_ids_out = jnp.arange(n, dtype=jnp.int32)
+    out_mask = (seg_ids_out < num_segments) & (full_counts > min_pts_per_voxel)
+    out_xyz = jnp.where(out_mask[:, None], centroids, PAD_COORD)
+    return PointCloud(out_xyz, first_inten, out_mask)
+
+
+# ---------------------------------------------------------------------------
+# Point-slab voxel map (nearest-neighbor engine)
+# ---------------------------------------------------------------------------
+
+class VoxelMap(NamedTuple):
+    """Sorted voxel table with per-voxel point slabs.
+
+    keys:   (V,) int32  ascending valid prefix, INVALID tail
+    slab:   (V, M, 3) f32 points (PAD_COORD padding)
+    counts: (V,) int32  valid points per voxel (<= M)
+    origin: (3,) f32
+    grid:   () f32
+    """
+
+    keys: jax.Array
+    slab: jax.Array
+    counts: jax.Array
+    origin: jax.Array
+    grid: jax.Array
+
+    @property
+    def num_voxels(self) -> int:
+        return self.keys.shape[0]
+
+    @property
+    def slab_size(self) -> int:
+        return self.slab.shape[1]
+
+
+@partial(jax.jit, static_argnames=("num_voxels", "slab_size"))
+def build_voxel_map(pc: PointCloud, grid, origin: jax.Array,
+                    num_voxels: int, slab_size: int) -> VoxelMap:
+    """Build the sorted voxel-slab table from a padded cloud.
+
+    One sort + segment scatter; voxels beyond ``num_voxels`` or points beyond
+    ``slab_size`` per voxel are dropped (log if that matters at call sites).
+    """
+    grid = jnp.asarray(grid, pc.xyz.dtype)
+    keys = voxel_keys(pc.xyz, pc.mask, origin, grid)
+    keys_s, xyz_s, _, seg_id, rank, _ = _sorted_segments(keys, pc.xyz, pc.intensity)
+
+    valid = (seg_id < num_voxels) & (rank < slab_size)
+    flat_idx = jnp.where(valid, seg_id * slab_size + rank, num_voxels * slab_size)
+    slab = jnp.full((num_voxels * slab_size, 3), PAD_COORD, jnp.float32).at[
+        flat_idx
+    ].set(xyz_s, mode="drop").reshape(num_voxels, slab_size, 3)
+
+    table_keys = jnp.full((num_voxels,), INVALID_KEY, jnp.int32).at[
+        jnp.where(seg_id < num_voxels, seg_id, num_voxels)
+    ].set(keys_s, mode="drop")
+    counts = jax.ops.segment_sum(
+        valid.astype(jnp.int32),
+        jnp.where(valid, seg_id, num_voxels),
+        num_segments=num_voxels,
+    )
+    return VoxelMap(table_keys, slab, counts, origin, grid)
+
+
+def _neighbor_offsets(radius: int) -> np.ndarray:
+    r = range(-radius, radius + 1)
+    return np.array([(x, y, z) for x in r for y in r for z in r], dtype=np.int32)
+
+
+DIRECT7_OFFSETS = np.array(
+    [(0, 0, 0), (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)],
+    dtype=np.int32,
+)
+
+
+def lookup_voxels(keys_table: jax.Array, nkeys: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Find packed keys in the sorted table: -> (index, found_mask)."""
+    idx = jnp.searchsorted(keys_table, nkeys)
+    idx = jnp.clip(idx, 0, keys_table.shape[0] - 1)
+    found = (keys_table[idx] == nkeys) & (nkeys != INVALID_KEY)
+    return idx, found
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def gather_neighbors(vm: VoxelMap, queries: jax.Array, q_mask: jax.Array,
+                     radius: int = 1) -> Tuple[jax.Array, jax.Array]:
+    """Batched fixed-radius candidate gather.
+
+    queries (Q, 3) -> candidates (Q, K*M, 3) and validity (Q, K*M) where K is
+    the (2*radius+1)^3 neighborhood. This one gather serves LOAM kNN, NDT
+    voxel lookups, VGICP correspondences, and fitness scoring.
+    """
+    offs = jnp.asarray(_neighbor_offsets(radius))  # (K, 3)
+    c = voxel_coords(queries, vm.origin, vm.grid)  # (Q, 3)
+    nc = c[:, None, :] + offs[None, :, :]  # (Q, K, 3)
+    nkeys = pack_coords(nc, q_mask[:, None])
+    idx, found = lookup_voxels(vm.keys, nkeys)  # (Q, K)
+    pts = vm.slab[idx]  # (Q, K, M, 3)
+    m = vm.slab_size
+    lane = jnp.arange(m, dtype=jnp.int32)
+    valid = found[:, :, None] & (lane[None, None, :] < vm.counts[idx][:, :, None])
+    q_, k_ = pts.shape[0], pts.shape[1]
+    return pts.reshape(q_, k_ * m, 3), valid.reshape(q_, k_ * m)
+
+
+@partial(jax.jit, static_argnames=("k", "radius"))
+def knn(vm: VoxelMap, queries: jax.Array, q_mask: jax.Array, k: int,
+        radius: int = 1) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """k nearest neighbors from the voxel neighborhood.
+
+    Returns (sq_dists (Q, k), neighbors (Q, k, 3), valid (Q, k)). Neighbors
+    beyond the voxel neighborhood are not seen — callers choose ``radius`` *
+    ``grid`` >= their search radius (LoamRegister uses sq-dist gate 1.0,
+    LoamRegister.hpp:31, so radius=1 with grid >= 1.0 suffices).
+    """
+    cand, valid = gather_neighbors(vm, queries, q_mask, radius)
+    d2 = jnp.sum((cand - queries[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(valid, d2, jnp.inf)
+    neg_top, top_idx = jax.lax.top_k(-d2, k)
+    sq = -neg_top
+    nbrs = jnp.take_along_axis(cand, top_idx[:, :, None], axis=1)
+    return sq, nbrs, jnp.isfinite(sq)
+
+
+# ---------------------------------------------------------------------------
+# Gaussian voxel map (NDT / VGICP backend)
+# ---------------------------------------------------------------------------
+
+class GaussianVoxelMap(NamedTuple):
+    """Sorted voxel table of Gaussian moments (mean, covariance, count)."""
+
+    keys: jax.Array    # (V,) int32
+    means: jax.Array   # (V, 3)
+    covs: jax.Array    # (V, 3, 3)
+    counts: jax.Array  # (V,)
+    origin: jax.Array  # (3,)
+    grid: jax.Array    # ()
+
+
+@partial(jax.jit, static_argnames=("num_voxels", "min_points"))
+def build_gaussian_voxel_map(pc: PointCloud, grid, origin: jax.Array,
+                             num_voxels: int, min_points: int = 6) -> GaussianVoxelMap:
+    """Accumulate per-voxel Gaussian moments (VoxelGridCovariance role).
+
+    Voxels with fewer than ``min_points`` points keep count but are flagged by
+    ``counts < min_points`` — consumers skip them like pclomp's
+    ``min_points_per_voxel`` (voxel_grid_covariance_omp.h default 6).
+    Covariances here are raw (unregularized); NDT/VGICP apply their own
+    eigenvalue conditioning.
+    """
+    grid = jnp.asarray(grid, pc.xyz.dtype)
+    keys = voxel_keys(pc.xyz, pc.mask, origin, grid)
+    keys_s, xyz_s, _, seg_id, _, _ = _sorted_segments(keys, pc.xyz, pc.intensity)
+    seg = jnp.where(seg_id < num_voxels, seg_id, num_voxels)
+
+    counts = jax.ops.segment_sum(
+        (seg_id < num_voxels).astype(jnp.int32), seg, num_segments=num_voxels
+    )
+    sums = jax.ops.segment_sum(xyz_s, seg, num_segments=num_voxels)
+    outer = xyz_s[:, :, None] * xyz_s[:, None, :]
+    sums2 = jax.ops.segment_sum(outer.reshape(-1, 9), seg, num_segments=num_voxels)
+    cnt = jnp.maximum(counts, 1).astype(sums.dtype)
+    means = sums / cnt[:, None]
+    e2 = sums2.reshape(num_voxels, 3, 3) / cnt[:, None, None]
+    covs = e2 - means[:, :, None] * means[:, None, :]
+
+    table_keys = jnp.full((num_voxels,), INVALID_KEY, jnp.int32).at[seg].set(
+        keys_s, mode="drop"
+    )
+    # zero the stats of padding rows so sentinels can't alias as voxels
+    is_valid_row = table_keys != INVALID_KEY
+    means = jnp.where(is_valid_row[:, None], means, 0.0)
+    covs = jnp.where(is_valid_row[:, None, None], covs, 0.0)
+    counts = jnp.where(is_valid_row, counts, 0)
+    return GaussianVoxelMap(table_keys, means, covs, counts, origin, grid)
+
+
+def gather_gaussians(gvm: GaussianVoxelMap, queries: jax.Array, q_mask: jax.Array,
+                     offsets: jax.Array, min_points: int = 6):
+    """Lookup Gaussian voxels at ``queries`` + ``offsets`` neighborhoods.
+
+    offsets: (K, 3) int32 (e.g. DIRECT7_OFFSETS). Returns
+    (means (Q, K, 3), covs (Q, K, 3, 3), valid (Q, K)).
+    """
+    c = voxel_coords(queries, gvm.origin, gvm.grid)
+    nc = c[:, None, :] + offsets[None, :, :]
+    nkeys = pack_coords(nc, q_mask[:, None])
+    idx, found = lookup_voxels(gvm.keys, nkeys)
+    valid = found & (gvm.counts[idx] >= min_points)
+    return gvm.means[idx], gvm.covs[idx], valid
