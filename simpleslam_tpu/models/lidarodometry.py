@@ -1,0 +1,130 @@
+"""Per-scan odometry pipeline (reference LidarOdometry).
+
+Parity with ``frontend/src/LidarOdometry.cpp:89-246`` (call stack SURVEY.md
+§3.2): pose prediction (reloc > odom2map * local_odom > last global odom),
+scan voxel downsample, scan2map through the configured PCR backend, planar
+clamp (SixDof2Mobile), keyframe selection (> 1 m gap), GlobalOdom push and
+odom2map update.
+
+Device work per scan is exactly two jitted calls (downsample+compact,
+scan2map); everything else is a handful of 4x4 matrix products on host.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import geometry as geo
+from ..ops import pointcloud as pcops
+from ..ops import voxel as vox
+from ..utils.config import Params
+from ..utils.logging import Logger
+from .frontend import Frontend, Odometry
+from .mapmanager import KeyFrame, MapManager, MIN_KF_GAP
+from .registration import make_register
+
+
+class LidarOdometry:
+    def __init__(self, frontend: Frontend, map_manager: MapManager,
+                 register=None):
+        cfg = Params.get_instance()
+        self.lg = Logger.get_instance()
+        self.frontend = frontend
+        self.map_manager = map_manager
+        self.grid_size = float(cfg["downSampleVoxelGridSize"])
+        self.ds_capacity = int(cfg["tpu"]["ds_scan_capacity"])
+        self.scan_capacity = int(cfg["tpu"]["scan_capacity"])
+        self.register = register if register is not None else make_register()
+
+        self.reloc = False
+        self.reloc_pose = np.eye(4)
+        self._reloc_lock = threading.Lock()
+        self._last_kf_pos = np.zeros(3)
+
+    # rviz /initialpose hook (RelocDataProxy -> setRelocFlag, LidarOdometry.cpp:67-77)
+    def set_reloc_flag(self, pose: np.ndarray) -> None:
+        with self._reloc_lock:
+            self.reloc_pose = pose.copy()
+            self.reloc = True
+
+    def generate_odom(self, stamp: float, scan_xyz: np.ndarray) -> np.ndarray:
+        """Process one scan; returns the refined body pose (4, 4 float64)."""
+        fe = self.frontend
+        mm = self.map_manager
+
+        # ---- initial pose (LidarOdometry.cpp:121-153) -----------------------
+        with self._reloc_lock:
+            init_pose = self.reloc_pose.copy()
+            reloc = self.reloc
+            self.reloc = False
+        local_odom = fe.get_closest_local_odom(stamp, retries=1)
+        if reloc:
+            self.lg.info("reloc-ing...")
+            fe.global_odom.clear()
+        elif local_odom is not None and fe.is_init_odom2map():
+            init_pose = fe.odom2map.load() @ local_odom.odom
+        else:
+            items = fe.global_odom.snapshot()
+            cidx = Frontend.get_closest_item(items, stamp)
+            if cidx <= -1 or not items:
+                self.lg.warn("global odom deque has not enough items to infer "
+                             "average velocity model!!")
+            else:
+                if abs(items[cidx].stamp - stamp) > 0.15:
+                    self.lg.warn("closest odom is out-dated!!")
+                init_pose = items[cidx].odom.copy()
+
+        # ---- scan2map (LidarOdometry.cpp:163-208) ---------------------------
+        ds_scan: Optional[pcops.PointCloud] = None
+        if not mm.is_submap_empty():
+            pc = pcops.from_numpy(scan_xyz, self.scan_capacity)
+            ds_scan = pcops.compact(
+                vox.voxel_downsample(pc, self.grid_size), self.ds_capacity
+            )
+            target = mm.get_target()  # snapshot under the submap lock
+            refined, converged = self.register.scan2map(ds_scan, target, init_pose)
+            if not converged:
+                self.lg.warn("pcr not converge!!")
+            init_pose = refined
+
+        # ---- planar clamp + keyframe + bookkeeping (:211-239) ---------------
+        init_pose = np.asarray(
+            geo.six_dof_to_mobile(jnp.asarray(init_pose.astype(np.float32))),
+            np.float64,
+        )
+        mm.set_cur_pose(init_pose)
+
+        kf_xyz = self._keyframe_cloud(scan_xyz)
+        kf = KeyFrame(stamp, init_pose, kf_xyz)
+        if mm.is_submap_empty():
+            self.lg.warn("at first, no submap here for now, build the map!!")
+            mm.put_keyframe(kf)
+            mm.notify_update_map()
+        else:
+            self._select_keyframe(kf)
+
+        fe.global_odom.push_back(Odometry(stamp, init_pose), block=False)
+        if local_odom is not None:
+            if not fe.is_init_odom2map():
+                fe.set_init_odom2map()
+                self.lg.info("init odom2map!!")
+            fe.odom2map.store(init_pose @ np.linalg.inv(local_odom.odom))
+        return init_pose
+
+    def _select_keyframe(self, kf: KeyFrame) -> None:
+        """Distance gate from the last *selected* keyframe (LidarOdometry.cpp:80-87)."""
+        cur = kf.pose[:3, 3]
+        if np.linalg.norm(cur - self._last_kf_pos) > MIN_KF_GAP:
+            if self.map_manager.put_keyframe(kf):
+                pass
+            self._last_kf_pos = cur
+
+    def _keyframe_cloud(self, scan_xyz: np.ndarray) -> np.ndarray:
+        """Keyframes store the host cloud downsampled at the map grid (the
+        reference stores raw and downsamples on save; we downsample up front
+        to bound memory, same content the submap consumes)."""
+        return self.map_manager._host_downsample(scan_xyz)

@@ -1,0 +1,195 @@
+"""Voxelized GICP registration (FastVGICP role) + PCL-style fitness score.
+
+TPU-native equivalent of the vendored ``fast_gicp::FastVGICP``
+(``third_parties/pclomp/src/pclomp/fast_vgicp_impl.hpp`` behind
+``PCR/src/VgicpRegister.cpp``): per-source-point covariances (kNN=20,
+plane-regularized), target accumulated into Gaussian voxels, and a
+distribution-to-distribution Mahalanobis cost minimized by damped GN over
+SE(3). The reference's LsqRegistration GN/LM loop becomes a
+``lax.while_loop``; correspondences are center-voxel lookups (DIRECT1, the
+fast_gicp default) on the shared sorted voxel table.
+
+The fitness score reproduces PCL ``Registration::getFitnessScore`` semantics
+(mean squared NN distance of the aligned source against the raw target
+points) within the voxel-neighborhood coverage radius — it feeds the
+loop-closure acceptance threshold (LoopClosureManager.cpp:97-106).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import geometry as geo
+from .linalg3 import symeig3x3
+from .ndt import solve3x3_batch
+from .pointcloud import PointCloud
+from .voxel import (
+    GaussianVoxelMap,
+    VoxelMap,
+    build_gaussian_voxel_map,
+    build_voxel_map,
+    gather_gaussians,
+    knn,
+)
+
+K_CORRESPONDENCES = 20   # fast_gicp k_correspondences_ default
+MIN_SRC_NEIGHBORS = 6
+MAX_ITERS = 30
+LC_MAX_ITERS = 100       # VgicpRegister::initForLC max iterations 100
+CONVERGE_EPS = 1e-4
+LC_CONVERGE_EPS = 1e-6   # initForLC transformation epsilon
+# target voxels: the combined covariance C = C_voxel + R C_src R^T is always
+# invertible thanks to the plane-regularized source covariances, so even
+# 3-point voxels of the pre-downsampled submap contribute
+MIN_VOXEL_POINTS = 3
+
+
+class VgicpTarget(NamedTuple):
+    gauss: GaussianVoxelMap  # Gaussian voxels (means/covs)
+    pts: VoxelMap            # raw target points (fitness score NN)
+
+
+class VgicpResult(NamedTuple):
+    pose: jax.Array
+    converged: jax.Array
+    iters: jax.Array
+    fitness: jax.Array
+
+
+@partial(jax.jit, static_argnames=("num_voxels",))
+def build_target(submap: PointCloud, resolution, origin: jax.Array,
+                 num_voxels: int) -> VgicpTarget:
+    gauss = build_gaussian_voxel_map(
+        submap, resolution, origin, num_voxels=num_voxels,
+        min_points=MIN_VOXEL_POINTS,
+    )
+    pts = build_voxel_map(
+        submap, resolution, origin, num_voxels=num_voxels, slab_size=8
+    )
+    return VgicpTarget(gauss, pts)
+
+
+def _plane_regularize(covs: jax.Array, valid: jax.Array) -> jax.Array:
+    """fast_gicp RegularizationMethod::PLANE: eigenvalues -> (1e-3, 1, 1)."""
+    lam, V = symeig3x3(covs)
+    lam_reg = jnp.broadcast_to(
+        jnp.array([1e-3, 1.0, 1.0], covs.dtype), lam.shape
+    )
+    reg = jnp.einsum("...ik,...k,...jk->...ij", V, lam_reg, V)
+    eye = jnp.eye(3, dtype=covs.dtype)
+    return jnp.where(valid[:, None, None], reg, eye)
+
+
+@partial(jax.jit, static_argnames=("num_voxels",))
+def source_covariances(src: PointCloud, num_voxels: int = 16384):
+    """Per-source-point plane-regularized covariances from kNN in the source
+    (fast_gicp calculate_covariances, kNN=20 via kd-tree -> voxel-slab kNN).
+
+    Returns (covs (N, 3, 3), valid (N,)). Far-field points with fewer than
+    MIN_SRC_NEIGHBORS neighbors within the 2 m search window are excluded —
+    the kernel masks them out of the cost.
+    """
+    svm = build_voxel_map(src, 1.0, jnp.zeros(3, src.xyz.dtype),
+                          num_voxels=num_voxels, slab_size=16)
+    sq, nbrs, nvalid = knn(svm, src.xyz, src.mask, k=K_CORRESPONDENCES, radius=1)
+    w = nvalid.astype(src.xyz.dtype)
+    cnt = jnp.sum(w, axis=1)
+    mean = jnp.sum(nbrs * w[..., None], axis=1) / jnp.maximum(cnt, 1.0)[:, None]
+    d = (nbrs - mean[:, None, :]) * w[..., None]
+    cov = jnp.einsum("nki,nkj->nij", d, d) / jnp.maximum(cnt, 1.0)[:, None, None]
+    valid = src.mask & (cnt >= MIN_SRC_NEIGHBORS)
+    return _plane_regularize(cov, valid), valid
+
+
+def _linearize(src: PointCloud, src_covs: jax.Array, src_valid: jax.Array,
+               target: VgicpTarget, pose: jax.Array):
+    """GN normal equations of the D2D Mahalanobis cost at ``pose``."""
+    p_map = geo.transform_points(pose, src.xyz)
+    offs = jnp.zeros((1, 3), jnp.int32)  # DIRECT1: center voxel only
+    means, covs_t, valid_v = gather_gaussians(
+        target.gauss, p_map, src.mask, offs, min_points=MIN_VOXEL_POINTS
+    )
+    mu = means[:, 0, :]
+    cov_t = covs_t[:, 0, :, :]
+    valid = src_valid & valid_v[:, 0]
+
+    R = pose[:3, :3]
+    cov_rot = jnp.einsum("ij,njk,lk->nil", R, src_covs, R)
+    C = cov_t + cov_rot + 1e-6 * jnp.eye(3, dtype=cov_t.dtype)
+    W, ok = solve3x3_batch(C)
+    valid = valid & ok
+
+    r = mu - p_map  # (N, 3)
+    J = -geo.j_se3(p_map)  # dr/ddelta (N, 3, 6)
+    w = valid.astype(r.dtype)
+    WJ = jnp.einsum("nij,njk->nik", W, J)
+    H = jnp.einsum("nik,nij,n->kj", J, WJ, w, preferred_element_type=jnp.float32)
+    Wr = jnp.einsum("nij,nj->ni", W, r)
+    g = jnp.einsum("nik,ni,n->k", J, Wr, w, preferred_element_type=jnp.float32)
+    cost = jnp.sum(jnp.einsum("ni,ni->n", r, Wr) * w)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    return H, g, cost, n_valid
+
+
+@partial(jax.jit, static_argnames=("max_iters", "eps"))
+def _align_impl(src: PointCloud, src_covs, src_valid, target: VgicpTarget,
+                init_pose: jax.Array, max_iters: int, eps: float):
+    def cond(carry):
+        pose, it, conv, lam, _ = carry
+        return (it < max_iters) & (~conv)
+
+    def body(carry):
+        pose, it, conv, lam, cost_prev = carry
+        H, g, cost, n = _linearize(src, src_covs, src_valid, target, pose)
+        diag = jnp.clip(jnp.diagonal(H), 1e-6, None)
+        dx = jnp.linalg.solve(H + lam * jnp.diag(diag), -g)
+        new_pose = geo.pose_compose(geo.se3_exp(dx), pose)
+        _, _, new_cost, _ = _linearize(src, src_covs, src_valid, target, new_pose)
+        improved = new_cost < cost
+        pose_next = jnp.where(improved, new_pose, pose)
+        lam_next = jnp.where(improved, jnp.maximum(lam * 0.5, 1e-8),
+                             jnp.minimum(lam * 8.0, 1e6))
+        conv_next = improved & (jnp.linalg.norm(dx) < eps)
+        starved = n < 6
+        return (pose_next, it + 1, conv_next | starved, lam_next,
+                jnp.where(improved, new_cost, cost_prev))
+
+    init = (init_pose.astype(jnp.float32), jnp.int32(0), jnp.array(False),
+            jnp.float32(1e-6), jnp.float32(jnp.inf))
+    pose, iters, conv, _, _ = jax.lax.while_loop(cond, body, init)
+    pose = geo.reorthonormalize(pose)
+    _, _, _, n = _linearize(src, src_covs, src_valid, target, pose)
+    fit = fitness_score(src, target.pts, pose)
+    return VgicpResult(pose, conv & (n >= 6), iters, fit)
+
+
+def align(src: PointCloud, target: VgicpTarget, init_pose: jax.Array,
+          lc_mode: bool = False) -> VgicpResult:
+    src_covs, src_valid = source_covariances(src)
+    if lc_mode:
+        return _align_impl(src, src_covs, src_valid, target, init_pose,
+                           max_iters=LC_MAX_ITERS, eps=LC_CONVERGE_EPS)
+    return _align_impl(src, src_covs, src_valid, target, init_pose,
+                       max_iters=MAX_ITERS, eps=CONVERGE_EPS)
+
+
+@jax.jit
+def fitness_score(src: PointCloud, target_pts: VoxelMap, pose: jax.Array) -> jax.Array:
+    """Mean squared NN distance of the aligned source (PCL getFitnessScore).
+
+    NN search is bounded by the voxel neighborhood (radius 1 of the target
+    grid); unmatched points are excluded from the mean, matching PCL's
+    max-range exclusion semantics with an effective max range of one grid
+    diagonal.
+    """
+    p_map = geo.transform_points(pose, src.xyz)
+    sq, _, valid = knn(target_pts, p_map, src.mask, k=1, radius=1)
+    d2 = sq[:, 0]
+    ok = valid[:, 0] & src.mask
+    n = jnp.maximum(jnp.sum(ok.astype(jnp.int32)), 1)
+    return jnp.sum(jnp.where(ok, d2, 0.0)) / n.astype(d2.dtype)

@@ -39,6 +39,7 @@ DEFAULT_PARAMS: dict = {
     },
     "vis": {"enable": False, "align": "/aligned", "submap": "/globalmap"},
     "backend": {
+        "enable": True,  # pose-graph backend (reference always runs it)
         "lc": {
             "enable": False,
             "contextDownSampleGridSize": 0.5,

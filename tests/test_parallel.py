@@ -1,0 +1,60 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from simpleslam_tpu.ops import loam, pointcloud as pcops, voxel as vox
+from simpleslam_tpu.parallel.mesh import make_mesh
+from simpleslam_tpu.parallel.dist_registration import sharded_scan2map
+from simpleslam_tpu.pipeline import simulate as sim
+
+
+@pytest.fixture(scope="module")
+def reg_fixture():
+    rng = np.random.default_rng(7)
+    world = sim.make_world(seed=11)
+    T = np.eye(4)
+    scan = sim.simulate_scan(world, sim.sensor_from_body(T), rng=rng)
+    pc_map = pcops.transform(pcops.from_numpy(scan, 32768), jnp.eye(4))
+    ds = pcops.compact(vox.voxel_downsample(pc_map, 0.5), 16384)
+    vm = vox.build_voxel_map(ds, 1.0, jnp.zeros(3, jnp.float32),
+                             num_voxels=32768, slab_size=8)
+    scan2 = sim.simulate_scan(world, sim.sensor_from_body(T), rng=rng)
+    src = pcops.compact(vox.voxel_downsample(pcops.from_numpy(scan2, 32768), 0.5), 8192)
+    guess = np.eye(4)
+    guess[:3, 3] = [0.1, -0.1, 0.0]
+    return src, vm, jnp.asarray(guess.astype(np.float32))
+
+
+def test_mesh_factoring():
+    m1 = make_mesh(8, ("dp",))
+    assert m1.devices.shape == (8,)
+    m2 = make_mesh(8, ("dp", "mp"))
+    assert m2.devices.shape == (2, 4)
+
+
+def test_sharded_scan2map_matches_single_device(reg_fixture):
+    src, vm, guess = reg_fixture
+    mesh = make_mesh(8, ("dp",))
+    fn = sharded_scan2map(mesh)
+    res_sharded = fn(src, vm, guess)
+    res_single = loam.scan2map(src, vm, guess)
+    assert bool(res_sharded.converged) == bool(res_single.converged)
+    # identical math, different reduction order: tolerance is loose-ish
+    np.testing.assert_allclose(
+        np.asarray(res_sharded.pose), np.asarray(res_single.pose), atol=5e-3
+    )
+    assert abs(int(res_sharded.n_valid) - int(res_single.n_valid)) <= 2
+
+
+def test_dryrun_multichip_entrypoint():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out)).all()
+    ge.dryrun_multichip(8)
