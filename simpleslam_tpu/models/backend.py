@@ -1,0 +1,249 @@
+"""Backend: keyframe pose-graph optimization + correction broadcast.
+
+Re-architecture of the reference backend (``backend/src/Backend.cpp:29-360``)
+with the GTSAM iSAM2 pimpl replaced by the framework's own batched LM+PCG
+solver (``ops/posegraph.py``). Behavioral parity:
+
+- prior factor on keyframe 0 (``addPrior``, Backend.cpp:85);
+- odometry Between factors from the **nearest** keyframe at insertion time
+  (not simply the previous one): ``from = mClosestKfIdx[...]`` recorded by
+  ``MapManager::putKeyFrame`` (Backend.cpp:240-252);
+- between measurement taken from the current estimates at insertion
+  (``from.between(to)``, Backend.cpp:245);
+- LC factors drained from the loop-closure queue (Backend.cpp:255-268);
+- event-driven pass (``optimHandler``, Backend.cpp:270-346): NewKFCome ->
+  add context + persist kfs + odom factors; LC -> loop factors; then solve,
+  write back optimized poses, broadcast the rigid correction
+  ``delta = kf_back_new * kf_back_old^-1`` to every GlobalOdom entry and to
+  odom2map;
+- factor-graph save/reload via g2o for remapping (Backend.cpp:125-222) and
+  TUM trajectory save on shutdown (Backend.cpp:349-358).
+
+Noise models (Backend.cpp:90-97, gtsam orders (rot, trans); our twist order
+is (trans, rot)): variances
+  prior: rot (1e-2, 1e-2, pi/72), trans (1e-1, 1e-1, 1e-1)
+  odom:  rot 1e-4, trans 1e-1      lc: all 1e-1
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import threading
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import posegraph as pgo
+from ..utils import fileio
+from ..utils.config import Params
+from ..utils.logging import Logger
+from .frontend import Frontend
+from .mapmanager import KFEvent, MapManager
+
+# diagonal variances in OUR ordering [trans(3), rot(3)]
+PRIOR_VAR = np.array([1e-1, 1e-1, 1e-1, 1e-2, 1e-2, math.pi / 72])
+ODOM_VAR = np.array([1e-1, 1e-1, 1e-1, 1e-4, 1e-4, 1e-4])
+LC_VAR = np.array([1e-1, 1e-1, 1e-1, 1e-1, 1e-1, 1e-1])
+
+# g2o info matrices order (trans, rot) like ours; gtsam reorders on its own
+# load (Backend.cpp:186-190) — files interoperate both ways.
+
+
+class Backend:
+    def __init__(self, frontend: Frontend, map_manager: MapManager,
+                 lcm=None):
+        cfg = Params.get_instance()
+        self.lg = Logger.get_instance()
+        self.frontend = frontend
+        self.map_manager = map_manager
+        self.lcm = lcm
+        self.kf_obj = map_manager.kf_obj
+        self.save_map_dir: str = cfg["saveMapDir"]
+
+        tpu = cfg["tpu"]
+        self.k_cap = int(tpu["max_keyframes"])
+        self.e_cap = int(tpu["max_edges"])
+
+        # factor storage (host; shipped to device per solve)
+        self.edge_i: List[int] = []
+        self.edge_j: List[int] = []
+        self.edge_T: List[np.ndarray] = []
+        self.edge_var: List[np.ndarray] = []
+        self.prior_pose: Optional[np.ndarray] = None
+        self._lock = threading.Lock()
+
+        self._load_factor_graph()
+
+    # -- factor building (Backend.cpp:224-268) -------------------------------
+    def _add_between(self, i: int, j: int, T_ij: np.ndarray, var: np.ndarray) -> None:
+        if len(self.edge_i) >= self.e_cap:
+            self.lg.error("factor graph edge capacity (%d) exceeded, dropping edge!",
+                          self.e_cap)
+            return
+        self.edge_i.append(i)
+        self.edge_j.append(j)
+        self.edge_T.append(T_ij.copy())
+        self.edge_var.append(var)
+
+    def add_odom_factor(self) -> None:
+        """Called under kf_obj.lock. Factors for keyframes [kf_nums, len)."""
+        kfs = self.kf_obj.keyframes
+        n = self.kf_obj.kf_nums
+        if n == 0 and kfs:
+            self.prior_pose = kfs[0].pose.copy()
+            n = 1
+        cidx = 0
+        for i in range(max(n, 1), len(kfs)):
+            from_idx = self.kf_obj.closest_kf_idx[cidx]
+            cidx += 1
+            T_from = kfs[from_idx].pose
+            T_to = kfs[i].pose
+            self.lg.info("factor graph add edge from %d to %d", from_idx, i)
+            self._add_between(from_idx, i, np.linalg.inv(T_from) @ T_to, ODOM_VAR)
+
+    def add_loop_factor(self) -> None:
+        if self.lcm is None:
+            return
+        while True:
+            r = self.lcm.lc_queue.consume_front()
+            if r is None:
+                break
+            self._add_between(r.from_idx, r.to_idx, r.between, LC_VAR)
+
+    # -- the optimization pass (Backend.cpp:270-346) --------------------------
+    def optim_once(self) -> bool:
+        """One event-driven pass; returns True if a solve ran."""
+        with self.kf_obj.lock:
+            event = self.kf_obj.get_and_reset_event()
+            if event == KFEvent.NONE:
+                return False
+            if event & KFEvent.NEW_KF:
+                if self.lcm is not None:
+                    self.lcm.add_context()
+                self.map_manager.save_kfs()
+                self.add_odom_factor()
+                self.kf_obj.kf_nums = len(self.kf_obj.keyframes)
+                self.kf_obj.closest_kf_idx.clear()
+            if event & KFEvent.LC:
+                self.lg.info("loop closure comes in backend!")
+                self.add_loop_factor()
+            kf_poses = [kf.pose.copy() for kf in self.kf_obj.keyframes]
+
+        if not kf_poses or self.prior_pose is None:
+            return False
+        opt = self._solve(kf_poses, strong=bool(event & KFEvent.LC))
+
+        with self.kf_obj.lock:
+            kfs = self.kf_obj.keyframes
+            n = min(len(opt), len(kfs))
+            latest_pose = kfs[-1].pose.copy()
+            for i in range(n):
+                kfs[i].pose = opt[i]
+            delta = kfs[-1].pose @ np.linalg.inv(latest_pose)
+
+        # re-orthonormalize (T2SE3 role) on host
+        u, _, vt = np.linalg.svd(delta[:3, :3])
+        delta[:3, :3] = u @ vt
+
+        self.frontend.global_odom.replace_all(
+            lambda o: type(o)(o.stamp, delta @ o.odom)
+        )
+        self.frontend.odom2map.store(delta @ self.frontend.odom2map.load())
+        return True
+
+    def _solve(self, kf_poses: List[np.ndarray], strong: bool) -> List[np.ndarray]:
+        k = len(kf_poses)
+        with self._lock:
+            e = len(self.edge_i)
+            g = self._build_graph(kf_poses)
+        # iSAM2-equivalent incremental budget: a couple of damped GN steps per
+        # keyframe event, a stronger re-solve on loop closure
+        # (update(1) vs +update(3), Backend.cpp:301-304)
+        iters = 12 if strong else 4
+        res = pgo.solve(g, max_iters=iters, cg_iters=64)
+        self.lg.info("posegraph solve: k=%d e=%d chi2 %.4f -> %.4f (%d iters)",
+                     k, e, float(res.cost0), float(res.cost), int(res.iters))
+        opt = np.asarray(res.poses, np.float64)
+        out = []
+        for i in range(k):
+            T = np.eye(4)
+            T[:3, :4] = opt[i][:3, :4]
+            out.append(T)
+        return out
+
+    def _build_graph(self, kf_poses: List[np.ndarray]) -> pgo.PoseGraph:
+        k = len(kf_poses)
+        poses = np.tile(np.eye(4, dtype=np.float32), (self.k_cap, 1, 1))
+        poses[:k] = np.asarray(kf_poses, np.float32)
+        kf_mask = np.arange(self.k_cap) < k
+
+        e = len(self.edge_i)
+        ei = np.zeros(self.e_cap, np.int32)
+        ej = np.zeros(self.e_cap, np.int32)
+        eT = np.tile(np.eye(4, dtype=np.float32), (self.e_cap, 1, 1))
+        einfo = np.zeros((self.e_cap, 6), np.float32)
+        if e:
+            ei[:e] = self.edge_i
+            ej[:e] = self.edge_j
+            eT[:e] = np.asarray(self.edge_T, np.float32)
+            einfo[:e] = 1.0 / np.asarray(self.edge_var, np.float32)
+        emask = np.arange(self.e_cap) < e
+
+        return pgo.PoseGraph(
+            poses=jnp.asarray(poses),
+            kf_mask=jnp.asarray(kf_mask),
+            edge_i=jnp.asarray(ei),
+            edge_j=jnp.asarray(ej),
+            edge_T=jnp.asarray(eT),
+            edge_info=jnp.asarray(einfo),
+            edge_mask=jnp.asarray(emask),
+            prior_pose=jnp.asarray(self.prior_pose, jnp.float32),
+            prior_info=jnp.asarray(1.0 / PRIOR_VAR, jnp.float32),
+        )
+
+    # -- persistence (Backend dtor + g2o I/O) ---------------------------------
+    def save(self) -> None:
+        """TUM + g2o save (Backend.cpp:349-358); also persists keyframe pcds."""
+        self.map_manager.save_kfs()
+        self.map_manager.save_trajectory()
+        if not self.save_map_dir:
+            return
+        os.makedirs(self.save_map_dir, exist_ok=True)
+        with self.kf_obj.lock:
+            kf_poses = [kf.pose for kf in self.kf_obj.keyframes]
+        with self._lock:
+            edges = [
+                (i, j, T, np.diag(1.0 / var))
+                for i, j, T, var in zip(self.edge_i, self.edge_j,
+                                        self.edge_T, self.edge_var)
+            ]
+        fileio.write_g2o(os.path.join(self.save_map_dir, "fg.g2o"),
+                         np.asarray(kf_poses) if kf_poses else np.zeros((0, 4, 4)),
+                         edges)
+
+    def _load_factor_graph(self) -> None:
+        """g2o reload for remapping (loadFactorGraph, Backend.cpp:105-222)."""
+        if not self.save_map_dir:
+            return
+        path = os.path.join(self.save_map_dir, "fg.g2o")
+        if not fileio.is_file(path):
+            return
+        poses, edges = fileio.load_g2o(path)
+        with self.kf_obj.lock:
+            nk = len(self.kf_obj.keyframes)
+            if len(poses) != nk:
+                self.lg.warn("g2o vertices (%d) != reloaded keyframes (%d); "
+                             "dropping factor graph", len(poses), nk)
+                return
+            for i in range(nk):
+                self.kf_obj.keyframes[i].pose = poses[i]
+            self.kf_obj.kf_nums = nk
+        if len(poses):
+            self.prior_pose = poses[0].copy()
+        for i, j, T, info in edges:
+            var = 1.0 / np.clip(np.diag(info), 1e-12, None)
+            self._add_between(int(i), int(j), T, var)
+        self.lg.info("reloaded factor graph: %d vertices, %d edges",
+                     len(poses), len(edges))

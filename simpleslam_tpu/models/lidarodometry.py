@@ -18,23 +18,23 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import geometry as geo
 from ..ops import pointcloud as pcops
-from ..ops import voxel as vox
 from ..utils.config import Params
 from ..utils.logging import Logger
 from .frontend import Frontend, Odometry
 from .mapmanager import KeyFrame, MapManager, MIN_KF_GAP
-from .registration import make_register
+from .registration import make_register, _planar_clamp as _clamp
 
 
 class LidarOdometry:
     def __init__(self, frontend: Frontend, map_manager: MapManager,
-                 register=None):
+                 register=None, vis=None):
         cfg = Params.get_instance()
         self.lg = Logger.get_instance()
         self.frontend = frontend
         self.map_manager = map_manager
+        self.vis = vis
+        self._vis_topic = cfg["vis"]["align"].strip("/")
         self.grid_size = float(cfg["downSampleVoxelGridSize"])
         self.ds_capacity = int(cfg["tpu"]["ds_scan_capacity"])
         self.scan_capacity = int(cfg["tpu"]["scan_capacity"])
@@ -78,24 +78,19 @@ class LidarOdometry:
                     self.lg.warn("closest odom is out-dated!!")
                 init_pose = items[cidx].odom.copy()
 
-        # ---- scan2map (LidarOdometry.cpp:163-208) ---------------------------
+        # ---- scan2map + planar clamp (LidarOdometry.cpp:163-211), fused into
+        # one device call (downsample + register + SixDof2Mobile) ------------
         ds_scan: Optional[pcops.PointCloud] = None
         if not mm.is_submap_empty():
             pc = pcops.from_numpy(scan_xyz, self.scan_capacity)
-            ds_scan = pcops.compact(
-                vox.voxel_downsample(pc, self.grid_size), self.ds_capacity
-            )
             target = mm.get_target()  # snapshot under the submap lock
-            refined, converged = self.register.scan2map(ds_scan, target, init_pose)
+            init_pose, converged, ds_scan = self.register.odometry_step(
+                pc, target, init_pose, self.grid_size, self.ds_capacity)
             if not converged:
                 self.lg.warn("pcr not converge!!")
-            init_pose = refined
-
-        # ---- planar clamp + keyframe + bookkeeping (:211-239) ---------------
-        init_pose = np.asarray(
-            geo.six_dof_to_mobile(jnp.asarray(init_pose.astype(np.float32))),
-            np.float64,
-        )
+        else:
+            init_pose = np.asarray(
+                _clamp(jnp.asarray(init_pose.astype(np.float32))), np.float64)
         mm.set_cur_pose(init_pose)
 
         kf_xyz = self._keyframe_cloud(scan_xyz)
@@ -106,6 +101,12 @@ class LidarOdometry:
             mm.notify_update_map()
         else:
             self._select_keyframe(kf)
+
+        # vis publish of the aligned scan (LidarOdometry.cpp:226, non-blocking)
+        if self.vis is not None and ds_scan is not None:
+            self.vis.publish_pc(self._vis_topic,
+                                np.asarray(ds_scan.xyz)[np.asarray(ds_scan.mask)],
+                                init_pose)
 
         fe.global_odom.push_back(Odometry(stamp, init_pose), block=False)
         if local_odom is not None:

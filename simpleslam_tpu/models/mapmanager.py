@@ -29,6 +29,7 @@ from typing import Any, List, Optional, Set
 import jax.numpy as jnp
 import numpy as np
 
+from .. import native
 from ..ops import pointcloud as pcops
 from ..ops import voxel as vox
 from ..utils import fileio
@@ -210,13 +211,10 @@ class MapManager:
         center = self.cur_pose.load()[:3, 3]
         d2 = np.sum((pos - center) ** 2, axis=1)
         sel = np.where(d2 <= SURROUNDING_KF_SEARCH_RADIUS ** 2)[0]
-        clouds = []
-        for i in sel:
-            kf = kfs[i]
-            R = kf.pose[:3, :3].astype(np.float32)
-            t = kf.pose[:3, 3].astype(np.float32)
-            clouds.append(kf.xyz @ R.T + t)
-        merged = np.concatenate(clouds) if clouds else np.zeros((0, 3), np.float32)
+        merged = native.transform_concat(
+            [kfs[i].xyz for i in sel],
+            np.stack([kfs[i].pose for i in sel]) if len(sel) else np.zeros((0, 4, 4)),
+        )
         with self.kf_obj.lock:
             self.kf_obj.submap_idx = set(int(i) for i in sel)
         self._rebuild_submap_from_points(merged, self.cur_pose.load())
@@ -225,19 +223,15 @@ class MapManager:
         cap = int(self.tpu_cfg["submap_capacity"])
         pc = pcops.from_numpy(xyz, cap)
         origin = jnp.asarray(anchor_pose[:3, 3].astype(np.float32))
-        ds = pcops.compact(vox.voxel_downsample(pc, self.grid_size, origin), cap)
-        target = self.register.build_target(ds, origin)
+        ds, target = self.register.build_target_from_raw(
+            pc, self.grid_size, origin, cap)
         with self._submap_lock:
             self._submap_pc = ds
             self._target = target
 
     def _host_downsample(self, xyz: np.ndarray) -> np.ndarray:
-        """Host-side voxel downsample for persistence-sized clouds."""
-        if len(xyz) == 0:
-            return xyz.astype(np.float32)
-        keys = np.floor(xyz / self.grid_size).astype(np.int64)
-        _, first = np.unique(keys, axis=0, return_index=True)
-        return xyz[np.sort(first)].astype(np.float32)
+        """Host-side voxel downsample for persistence-sized clouds (native)."""
+        return native.voxel_downsample_first(xyz, self.grid_size)
 
     # -- accessors ------------------------------------------------------------
     def is_submap_empty(self) -> bool:

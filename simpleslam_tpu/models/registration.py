@@ -13,18 +13,61 @@ get Gaussian voxel maps, all built on device.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import geometry as geo
 from ..ops import loam as loam_ops
 from ..ops import ndt as ndt_ops
+from ..ops import pointcloud as pcops
 from ..ops import vgicp as vgicp_ops
 from ..ops.pointcloud import PointCloud
 from ..ops import voxel as vox
 from ..utils.config import Params
+
+
+# ---------------------------------------------------------------------------
+# fused per-scan device steps — ONE jitted call per scan / per submap rebuild.
+# Splitting these into eager op-by-op dispatch costs a device round-trip per
+# op; through the TPU tunnel that dominates the whole frame time.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("ds_capacity", "kind"))
+def _fused_odometry_step(raw: PointCloud, target: Any, init_pose: jax.Array,
+                         grid: jax.Array, ds_capacity: int, kind: str):
+    """downsample -> compact -> scan2map -> planar clamp, fused.
+
+    Returns (clamped pose, converged, fitness, ds_scan). The planar clamp is
+    the per-frame SixDof2Mobile of LidarOdometry.cpp:211.
+    """
+    ds = pcops.compact(vox.voxel_downsample(raw, grid), ds_capacity)
+    fit = jnp.float32(0.0)
+    if kind == "loam":
+        res = loam_ops.scan2map(ds, target, init_pose)
+        pose, conv = res.pose, res.converged
+    elif kind == "ndt":
+        res = ndt_ops.align(ds, target, init_pose)
+        pose, conv = res.pose, res.converged
+    else:
+        res = vgicp_ops.align(ds, target, init_pose)
+        pose, conv, fit = res.pose, res.converged, res.fitness
+    pose = geo.six_dof_to_mobile(pose)
+    return pose, conv, fit, ds
+
+
+@jax.jit
+def _planar_clamp(pose: jax.Array) -> jax.Array:
+    return geo.six_dof_to_mobile(pose)
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _fused_downsample(pc: PointCloud, grid: jax.Array, origin: jax.Array,
+                      cap: int) -> PointCloud:
+    return pcops.compact(vox.voxel_downsample(pc, grid, origin), cap)
 
 
 class PointCloudRegister:
@@ -36,6 +79,8 @@ class PointCloudRegister:
         self._fitness: float = float("inf")
         self.is_converge: bool = False
 
+    KIND = ""
+
     def build_target(self, submap: PointCloud, origin: jax.Array) -> Any:
         raise NotImplementedError
 
@@ -45,12 +90,33 @@ class PointCloudRegister:
         Returns (refined pose, converged)."""
         raise NotImplementedError
 
+    def odometry_step(self, raw: PointCloud, target: Any, pose: np.ndarray,
+                      grid: float, ds_capacity: int):
+        """Fused per-scan path: (clamped pose f64, converged, ds_scan)."""
+        p, conv, fit, ds = _fused_odometry_step(
+            raw, target, jnp.asarray(pose, jnp.float32),
+            jnp.float32(grid), ds_capacity, self.KIND)
+        self.is_converge = bool(conv)
+        if self.KIND == "vgicp":
+            self._fitness = float(fit)
+        return np.asarray(p, np.float64), self.is_converge, ds
+
+    def build_target_from_raw(self, pc: PointCloud, grid: float,
+                              origin: jax.Array, cap: int):
+        """Fused submap rebuild: downsample+compact+target build, one call.
+
+        Returns (ds_submap, target)."""
+        ds = _fused_downsample(pc, jnp.float32(grid), origin, cap)
+        return ds, self.build_target(ds, origin)
+
     def get_fitness_score(self) -> float:
         return self._fitness
 
 
 class LoamRegister(PointCloudRegister):
     """LOAM point-to-plane GN on SE(3) (PCR/src/LoamRegister.cpp:99-223)."""
+
+    KIND = "loam"
 
     # neighbor-search voxel size: must cover the 1.0 m kNN gate with radius 1
     TARGET_GRID = 1.0
@@ -74,6 +140,8 @@ class NdtRegister(PointCloudRegister):
     """OpenMP-NDT equivalent: Gaussian-voxel Newton with DIRECT7 lookups
     (adapter parity: PCR/src/NdtRegister.cpp:6-35, resolution 1.0)."""
 
+    KIND = "ndt"
+
     RESOLUTION = 1.0
 
     def build_target(self, submap: PointCloud, origin: jax.Array) -> vox.GaussianVoxelMap:
@@ -93,6 +161,8 @@ class NdtRegister(PointCloudRegister):
 class VgicpRegister(PointCloudRegister):
     """FastVGICP equivalent: voxelized distribution-to-distribution GICP
     (adapter parity: PCR/src/VgicpRegister.cpp:6-48, resolution 1.0)."""
+
+    KIND = "vgicp"
 
     RESOLUTION = 1.0
 

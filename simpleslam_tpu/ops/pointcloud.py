@@ -43,10 +43,15 @@ def from_numpy(xyz: np.ndarray, capacity: int,
 
     NaN rows are dropped (the reference strips NaNs on ingest,
     ``dataproxy/src/LidarDataProxy.cpp`` via pcp::removeNaNFromPointCloud).
+    The strip+pad pass runs in the native host runtime when available.
     """
+    from .. import native
+
     xyz = np.asarray(xyz, dtype=np.float32).reshape(-1, 3)
     if intensity is None:
-        intensity = np.zeros((xyz.shape[0],), dtype=np.float32)
+        out, mask, _ = native.pad_cloud(xyz, capacity, PAD_COORD)
+        inten = np.zeros((capacity,), dtype=np.float32)
+        return PointCloud(jnp.asarray(out), jnp.asarray(inten), jnp.asarray(mask))
     intensity = np.asarray(intensity, dtype=np.float32).reshape(-1)
     finite = np.isfinite(xyz).all(axis=1)
     xyz, intensity = xyz[finite], intensity[finite]

@@ -54,6 +54,12 @@ class SlamSystem:
         self.lg = Logger.get_instance()
         self.mode = cfg["mode"]
 
+        self.vis = None
+        if cfg["vis"].get("enable", False):
+            from .vis import Vis
+
+            self.vis = Vis(out_dir=cfg["vis"].get("out_dir") or None)
+
         self.register = make_register()
         self.map_manager = MapManager(self.register, pcd_file=pcd_file)
 
@@ -66,7 +72,7 @@ class SlamSystem:
             local_deque = self.ekf_proxy.local_odom
         self.frontend = Frontend(local_deque)
         self.lidar_odometry = LidarOdometry(self.frontend, self.map_manager,
-                                            self.register)
+                                            self.register, vis=self.vis)
 
         self.backend = None
         self.loop_closure = None
@@ -88,6 +94,8 @@ class SlamSystem:
         else:
             self.map_manager.save_trajectory()
             self.map_manager.save_kfs()
+        if self.vis is not None:
+            self.vis.close()
 
 
 def run_offline(system: SlamSystem, streams: sim.SensorStreams,

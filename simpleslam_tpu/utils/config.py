@@ -37,7 +37,8 @@ DEFAULT_PARAMS: dict = {
         "imu": "/imu/data",
         "wheel": "/odom/raw",
     },
-    "vis": {"enable": False, "align": "/aligned", "submap": "/globalmap"},
+    "vis": {"enable": False, "align": "/aligned", "submap": "/globalmap",
+            "out_dir": ""},
     "backend": {
         "enable": True,  # pose-graph backend (reference always runs it)
         "lc": {

@@ -1,0 +1,63 @@
+"""Native host-runtime kernels: C++ path vs numpy fallback parity."""
+
+import numpy as np
+import pytest
+
+from simpleslam_tpu import native
+
+
+def test_native_library_builds():
+    assert native.available(), "g++ toolchain present in image; build must succeed"
+
+
+def test_voxel_downsample_first_semantics(rng):
+    xyz = rng.uniform(-10, 10, (5000, 3)).astype(np.float32)
+    out = native.voxel_downsample_first(xyz, 0.5)
+    # one point per occupied voxel, each output present in the input
+    keys = np.floor(out / 0.5).astype(np.int64)
+    assert len(np.unique(keys, axis=0)) == len(out)
+    keys_in = np.floor(xyz / 0.5).astype(np.int64)
+    assert len(out) == len(np.unique(keys_in, axis=0))
+    # first-point semantics: the kept point is the first of its voxel
+    all_keys = [tuple(k) for k in keys_in]
+    first_of = {}
+    for i, k in enumerate(all_keys):
+        if k not in first_of:
+            first_of[k] = xyz[i]
+    for p in out[:100]:
+        k = tuple(np.floor(p / 0.5).astype(np.int64))
+        np.testing.assert_array_equal(first_of[k], p)
+
+
+def test_pad_cloud(rng):
+    xyz = rng.normal(size=(100, 3)).astype(np.float32)
+    xyz[7] = np.nan
+    out, mask, n = native.pad_cloud(xyz, 128, 1e6)
+    assert n == 99 and mask.sum() == 99
+    np.testing.assert_array_equal(out[99:], 1e6)
+    np.testing.assert_array_equal(out[:7], xyz[:7])
+    np.testing.assert_array_equal(out[7], xyz[8])  # NaN row skipped
+
+
+def test_pad_cloud_truncates(rng):
+    xyz = rng.normal(size=(100, 3)).astype(np.float32)
+    out, mask, n = native.pad_cloud(xyz, 50, 1e6)
+    assert n == 50 and mask.all()
+
+
+def test_transform_concat(rng):
+    clouds = [rng.normal(size=(50, 3)).astype(np.float32) for _ in range(4)]
+    poses = []
+    for i in range(4):
+        T = np.eye(4)
+        th = 0.3 * i
+        T[0, 0], T[0, 1], T[1, 0], T[1, 1] = (np.cos(th), -np.sin(th),
+                                              np.sin(th), np.cos(th))
+        T[:3, 3] = [i, -i, 0.5 * i]
+        poses.append(T)
+    out = native.transform_concat(clouds, np.stack(poses))
+    ref = np.concatenate([
+        c @ p[:3, :3].T.astype(np.float32) + p[:3, 3].astype(np.float32)
+        for c, p in zip(clouds, poses)
+    ])
+    np.testing.assert_allclose(out, ref, atol=1e-5)
