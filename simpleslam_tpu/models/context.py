@@ -1,0 +1,161 @@
+"""Place-recognition context plugin API (reference ContextBase family).
+
+Parity with ``backend/include/backend/ContextBase.hpp:19-39`` — an
+any-typed descriptor plugin with ``addContext(source)``, ``query(id) ->
+QueryResult`` and save/load hooks — plus the two concrete plugins the
+reference ships:
+
+- **ScanContext** (``backend/src/ScanContext.cpp:56-278``): polar BEV
+  max-height descriptors; the tensor kernels live in ``ops/scancontext.py``,
+  this class owns the fixed-capacity device database and the query gate.
+- **DistContext** (``backend/src/DistContext.cpp:14-31``): the reference's
+  2D-translation-distance context is a stub whose ``query`` always returns
+  -1; here it is completed to a working (if weak) baseline: candidates are
+  past keyframes within ``distThres`` meters of the query position,
+  excluding the ``numExcludeRecent`` newest — useful as a cheap geometric
+  prior and as the simplest plugin example.
+
+Plugins are selected by ``backend.context.used`` in the config; the
+``LoopClosureManager`` talks only to this interface.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import pointcloud as pcops
+from ..ops import scancontext as sc
+from ..utils.config import Params
+from ..utils.logging import Logger
+
+
+class QueryResult(NamedTuple):
+    """Matched context id (or -1) + yaw alignment hint (ContextBase.hpp:24-27)."""
+
+    idx: int
+    yaw: float
+    min_dist: float
+
+
+class ContextBase:
+    """Descriptor plugin API (ContextBase.hpp:19-39).
+
+    ``add_context`` ingests one keyframe source (xyz cloud + pose);
+    ``query(id)`` matches context ``id`` against strictly older contexts.
+    """
+
+    def __init__(self) -> None:
+        self.n_contexts = 0
+
+    def add_context(self, xyz: np.ndarray, pose: np.ndarray) -> None:
+        raise NotImplementedError
+
+    def query(self, qid: int) -> QueryResult:
+        raise NotImplementedError
+
+    # persistence hooks (stubs in the reference too, ContextBase.hpp:35-38)
+    def save_context(self, path: str) -> None:
+        pass
+
+    def load_context(self, path: str) -> None:
+        pass
+
+
+class ScanContext(ContextBase):
+    """Fixed-capacity device database of ScanContext descriptors."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        cfg = Params.get_instance()
+        sc_cfg = cfg["backend"]["context"]["scancontext"]
+        self.lg = Logger.get_instance()
+        self.num_exclude_recent = int(sc_cfg["numExcludeRecent"])
+        self.num_candidates = int(sc_cfg["numCandidatesFromTree"])
+        self.dist_thres = float(sc_cfg["scDistThres"])
+        self.lidar_height = float(cfg["tf"]["lidar_height"])
+        self._cap = int(cfg["tpu"]["max_keyframes"])
+        self._pc_capacity = int(cfg["tpu"]["ds_scan_capacity"])
+        self.descs = jnp.zeros((self._cap, sc.NUM_RING, sc.NUM_SECTOR), jnp.float32)
+        self.ring_keys = jnp.zeros((self._cap, sc.NUM_RING), jnp.float32)
+
+    def add_context(self, xyz: np.ndarray, pose: np.ndarray) -> None:
+        if self.n_contexts >= self._cap:
+            self.lg.error("context capacity (%d) exceeded!", self._cap)
+            return
+        pc = pcops.from_numpy(xyz, self._pc_capacity)
+        d = sc.make_descriptor(pc.xyz, pc.mask, self.lidar_height)
+        i = self.n_contexts
+        self.descs = self.descs.at[i].set(d)
+        self.ring_keys = self.ring_keys.at[i].set(sc.ring_key(d))
+        self.n_contexts = i + 1
+
+    def query(self, qid: int) -> QueryResult:
+        q = sc.query(self.descs, self.ring_keys, jnp.int32(qid),
+                     jnp.int32(self.num_exclude_recent),
+                     jnp.float32(self.dist_thres),
+                     num_candidates=self.num_candidates)
+        return QueryResult(int(q.idx), float(q.yaw), float(q.min_dist))
+
+    def save_context(self, path: str) -> None:
+        np.save(path, np.asarray(self.descs[: self.n_contexts]))
+
+    def load_context(self, path: str) -> None:
+        arr = np.load(path)
+        n = min(len(arr), self._cap)
+        self.descs = self.descs.at[:n].set(jnp.asarray(arr[:n]))
+        self.ring_keys = self.ring_keys.at[:n].set(
+            sc.ring_key(jnp.asarray(arr[:n])))
+        self.n_contexts = n
+
+
+class DistContext(ContextBase):
+    """2D-translation-distance context (DistContext.cpp:14-31, completed).
+
+    The reference's version stores (x, y) per keyframe but leaves ``query``
+    unimplemented (returns -1). Here the natural completion: nearest past
+    keyframe within ``distThres`` m in the xy-plane, skipping the most
+    recent ``numExcludeRecent``. No yaw hint (0.0).
+    """
+
+    def __init__(self, dist_thres: float = 5.0,
+                 num_exclude_recent: Optional[int] = None) -> None:
+        super().__init__()
+        cfg = Params.get_instance()
+        sc_cfg = cfg["backend"]["context"]["scancontext"]
+        self.dist_thres = float(
+            cfg["backend"]["context"].get("distcontext", {}).get(
+                "distThres", dist_thres))
+        self.num_exclude_recent = (
+            num_exclude_recent if num_exclude_recent is not None
+            else int(sc_cfg["numExcludeRecent"]))
+        self._xy: list = []
+
+    def add_context(self, xyz: np.ndarray, pose: np.ndarray) -> None:
+        self._xy.append(np.asarray(pose[:2, 3], np.float64))
+        self.n_contexts = len(self._xy)
+
+    def query(self, qid: int) -> QueryResult:
+        allowed = qid - self.num_exclude_recent
+        if allowed <= 0:
+            return QueryResult(-1, 0.0, float("inf"))
+        past = np.stack(self._xy[:allowed])
+        d = np.linalg.norm(past - self._xy[qid][None, :], axis=1)
+        best = int(np.argmin(d))
+        if d[best] < self.dist_thres:
+            return QueryResult(best, 0.0, float(d[best]))
+        return QueryResult(-1, 0.0, float(d[best]))
+
+
+def make_context(kind: Optional[str] = None) -> ContextBase:
+    """Config-driven plugin factory (``backend.context.used``)."""
+    if kind is None:
+        kind = Params.get_instance()["backend"]["context"].get(
+            "used", "scancontext")
+    if kind == "scancontext":
+        return ScanContext()
+    if kind == "distcontext":
+        return DistContext()
+    raise ValueError(f"unknown context plugin: {kind}")

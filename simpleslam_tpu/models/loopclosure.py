@@ -18,8 +18,9 @@ the current estimate, i.e. no correction signal (consistent with its README
 benchmarking LC disabled). A loop closure that actually closes loops needs
 the refined pose.
 
-Descriptor storage is a fixed-capacity device array; queries are one jitted
-call (ops/scancontext.py).
+The place-recognition descriptor is a plugin (``models/context.py`` —
+ScanContext by default, selected by ``backend.context.used``), mirroring the
+reference's ``ContextBase`` polymorphism (LoopClosureManager.hpp:17-76).
 """
 
 from __future__ import annotations
@@ -32,10 +33,10 @@ import numpy as np
 
 from .. import native
 from ..ops import pointcloud as pcops
-from ..ops import scancontext as sc
 from ..utils.concurrency import SafeDeque
 from ..utils.config import Params
 from ..utils.logging import Logger
+from .context import make_context
 from .mapmanager import MapManager
 from .registration import VgicpRegister
 
@@ -48,10 +49,9 @@ class LCResult:
 
 
 class LoopClosureManager:
-    def __init__(self, map_manager: MapManager):
+    def __init__(self, map_manager: MapManager, context=None):
         cfg = Params.get_instance()
         lc_cfg = cfg["backend"]["lc"]
-        sc_cfg = cfg["backend"]["context"]["scancontext"]
         self.lg = Logger.get_instance()
         self.map_manager = map_manager
         self.kf_obj = map_manager.kf_obj
@@ -59,16 +59,8 @@ class LoopClosureManager:
         self.context_ds = float(lc_cfg["contextDownSampleGridSize"])
         self.history_range = int(lc_cfg["historySubmapRange"])
         self.fitness_thresh = float(lc_cfg["fitnessThreshold"])
-        self.num_exclude_recent = int(sc_cfg["numExcludeRecent"])
-        self.num_candidates = int(sc_cfg["numCandidatesFromTree"])
-        self.dist_thres = float(sc_cfg["scDistThres"])
-        self.lidar_height = float(cfg["tf"]["lidar_height"])
 
-        cap = int(cfg["tpu"]["max_keyframes"])
-        self._cap = cap
-        self.descs = jnp.zeros((cap, sc.NUM_RING, sc.NUM_SECTOR), jnp.float32)
-        self.ring_keys = jnp.zeros((cap, sc.NUM_RING), jnp.float32)
-        self.n_contexts = 0
+        self.context = context if context is not None else make_context()
         self.lc_size = 0  # processed watermark (lc_size_)
 
         self.register = VgicpRegister()
@@ -76,19 +68,18 @@ class LoopClosureManager:
         self.lc_queue: SafeDeque[LCResult] = SafeDeque(10)
         self._ctx_capacity = int(cfg["tpu"]["ds_scan_capacity"])
 
+    @property
+    def n_contexts(self) -> int:
+        return self.context.n_contexts
+
     # -- context ingestion (LoopClosureManager.cpp:28-37; call under kf lock) --
     def add_context(self) -> None:
         kfs = self.kf_obj.keyframes
-        for i in range(self.n_contexts, len(kfs)):
-            if i >= self._cap:
-                self.lg.error("context capacity (%d) exceeded!", self._cap)
-                return
+        for i in range(self.context.n_contexts, len(kfs)):
             xyz = native.voxel_downsample_first(kfs[i].xyz, self.context_ds)
-            pc = pcops.from_numpy(xyz, self._ctx_capacity)
-            d = sc.make_descriptor(pc.xyz, pc.mask, self.lidar_height)
-            self.descs = self.descs.at[i].set(d)
-            self.ring_keys = self.ring_keys.at[i].set(sc.ring_key(d))
-            self.n_contexts = i + 1
+            self.context.add_context(xyz, kfs[i].pose)
+            if self.context.n_contexts != i + 1:
+                return  # capacity exceeded (plugin logged it)
 
     # -- history submap (LoopClosureManager.cpp:40-60; call under kf lock) -----
     def _history_submap(self, key: int) -> np.ndarray:
@@ -106,14 +97,11 @@ class LoopClosureManager:
         """Process all new contexts; returns the number of accepted closures."""
         accepted = 0
         for i in range(self.lc_size, self.n_contexts):
-            q = sc.query(self.descs, self.ring_keys, jnp.int32(i),
-                         jnp.int32(self.num_exclude_recent),
-                         jnp.float32(self.dist_thres),
-                         num_candidates=self.num_candidates)
-            old_key = int(q.idx)
+            q = self.context.query(i)
+            old_key = q.idx
             if old_key < 0:
                 continue
-            self.lg.info("%d to %d min dist: %.4f", i, old_key, float(q.min_dist))
+            self.lg.info("%d to %d min dist: %.4f", i, old_key, q.min_dist)
 
             with self.kf_obj.lock:
                 kfs = self.kf_obj.keyframes

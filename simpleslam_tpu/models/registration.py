@@ -121,16 +121,19 @@ class LoamRegister(PointCloudRegister):
     # neighbor-search voxel size: must cover the 1.0 m kNN gate with radius 1
     TARGET_GRID = 1.0
 
-    def build_target(self, submap: PointCloud, origin: jax.Array) -> vox.VoxelMap:
-        return vox.build_voxel_map(
+    def build_target(self, submap: PointCloud, origin: jax.Array) -> vox.DenseVoxelMap:
+        # dense window around the submap anchor: lookup is index arithmetic,
+        # which profiles ~100x faster per GN iteration than the sorted-table
+        # searchsorted path on real TPU hardware (see ops/voxel.py).
+        return vox.build_dense_voxel_map(
             submap,
             self.TARGET_GRID,
             origin,
-            num_voxels=int(self.tpu_cfg["map_voxel_capacity"]),
+            dims=tuple(int(d) for d in self.tpu_cfg["dense_grid_dims"]),
             slab_size=int(self.tpu_cfg["max_pts_per_voxel"]),
         )
 
-    def scan2map(self, src: PointCloud, target: vox.VoxelMap, pose: np.ndarray):
+    def scan2map(self, src: PointCloud, target, pose: np.ndarray):
         res = loam_ops.scan2map(src, target, jnp.asarray(pose, jnp.float32))
         self.is_converge = bool(res.converged)
         return np.asarray(res.pose, np.float64), self.is_converge
@@ -144,15 +147,15 @@ class NdtRegister(PointCloudRegister):
 
     RESOLUTION = 1.0
 
-    def build_target(self, submap: PointCloud, origin: jax.Array) -> vox.GaussianVoxelMap:
-        return vox.build_gaussian_voxel_map(
+    def build_target(self, submap: PointCloud, origin: jax.Array) -> ndt_ops.NdtTarget:
+        return ndt_ops.build_target(
             submap,
             self.RESOLUTION,
             origin,
-            num_voxels=int(self.tpu_cfg["map_voxel_capacity"]),
+            dims=tuple(int(d) for d in self.tpu_cfg["dense_grid_dims"]),
         )
 
-    def scan2map(self, src: PointCloud, target: vox.GaussianVoxelMap, pose: np.ndarray):
+    def scan2map(self, src: PointCloud, target: ndt_ops.NdtTarget, pose: np.ndarray):
         res = ndt_ops.align(src, target, jnp.asarray(pose, jnp.float32))
         self.is_converge = bool(res.converged)
         return np.asarray(res.pose, np.float64), self.is_converge
@@ -179,7 +182,7 @@ class VgicpRegister(PointCloudRegister):
             submap,
             self.RESOLUTION,
             origin,
-            num_voxels=int(self.tpu_cfg["map_voxel_capacity"]),
+            dims=tuple(int(d) for d in self.tpu_cfg["dense_grid_dims"]),
         )
 
     def scan2map(self, src: PointCloud, target: vgicp_ops.VgicpTarget, pose: np.ndarray):

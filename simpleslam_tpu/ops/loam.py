@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from . import geometry as geo
 from .linalg3 import symeig3x3_smallest
 from .pointcloud import PointCloud
-from .voxel import VoxelMap, knn
+from .voxel import DenseVoxelMap, VoxelMap
 
 PLANE_PTS = 5
 MAX_SEARCH_SQ = 1.0
@@ -76,18 +76,43 @@ def build_normal_equations(src: PointCloud, vm: VoxelMap, pose: jax.Array):
     |x . a_i + 1| <= 0.2 |x| exactly for the fitted plane.
     """
     p_map = geo.transform_points(pose, src.xyz)
-    sq, nbrs, _ = knn(vm, p_map, src.mask, k=PLANE_PTS, radius=1)
-    gate = src.mask & (sq[:, PLANE_PTS - 1] < MAX_SEARCH_SQ)
+    # dense grid = direct index arithmetic (fast path); sorted table = key
+    # search (kept for the sharded/dp path which shards the compact table)
+    if isinstance(vm, DenseVoxelMap):
+        from .voxel import gather_neighbors_dense as _gather
+    else:
+        from .voxel import gather_neighbors as _gather
+    cand, cand_ok = _gather(vm, p_map, src.mask, 1)   # (N, C, 3), (N, C)
+    d2 = jnp.sum((cand - p_map[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(cand_ok, d2, jnp.inf)
 
-    A = nbrs  # (N, 5, 3)
-    centroid = jnp.mean(A, axis=1)
-    B = A - centroid[:, None, :]
-    M = jnp.einsum("nki,nkj->nij", B, B)
+    # 5-NN selection WITHOUT top_k/take_along (selection-by-gather is slow on
+    # TPU): k rounds of argmin+mask produce a 0/1 membership vector over the
+    # candidate axis, and every downstream quantity (centroid, scatter,
+    # residual gate) becomes a masked reduction over candidates.
+    w5 = jnp.zeros_like(d2)
+    d_k = jnp.zeros((d2.shape[0],), d2.dtype)
+    dd = d2
+    for _ in range(PLANE_PTS):
+        d_k = jnp.min(dd, axis=1)
+        hit = (dd == d_k[:, None]) & jnp.isfinite(d_k)[:, None]
+        # break ties to a single candidate: first occurrence along c
+        first = jnp.cumsum(hit.astype(jnp.int32), axis=1) == 1
+        hit = hit & first
+        w5 = w5 + hit.astype(w5.dtype)
+        dd = jnp.where(hit, jnp.inf, dd)
+    gate = src.mask & (d_k < MAX_SEARCH_SQ) & (
+        jnp.sum(w5, axis=1) >= PLANE_PTS)
+
+    centroid = jnp.einsum("nc,nci->ni", w5, cand) / PLANE_PTS
+    Bc = cand - centroid[:, None, :]                  # (N, C, 3)
+    Bw = Bc * w5[..., None]
+    M = jnp.einsum("nci,ncj->nij", Bw, Bc)
     lam, n_hat = symeig3x3_smallest(M)
     fit_ok = (lam[:, 1] > MIN_PLANAR_EV) & (lam[:, 0] < MAX_THICKNESS_EV)
 
-    resid = jnp.einsum("nki,ni->nk", B, n_hat)
-    plane_ok = jnp.all(jnp.abs(resid) <= PLANE_VALID_THRESH, axis=1)
+    resid = jnp.einsum("nci,ni->nc", Bw, n_hat)
+    plane_ok = jnp.max(jnp.abs(resid), axis=1) <= PLANE_VALID_THRESH
 
     d = jnp.einsum("ni,ni->n", p_map - centroid, n_hat)
     src_range = jnp.linalg.norm(src.xyz, axis=-1)

@@ -7,7 +7,8 @@ plane-regularized), target accumulated into Gaussian voxels, and a
 distribution-to-distribution Mahalanobis cost minimized by damped GN over
 SE(3). The reference's LsqRegistration GN/LM loop becomes a
 ``lax.while_loop``; correspondences are center-voxel lookups (DIRECT1, the
-fast_gicp default) on the shared sorted voxel table.
+fast_gicp default) on the dense Gaussian voxel grid (index arithmetic, no
+key search — see ops/voxel.py on why this matters on TPU).
 
 The fitness score reproduces PCL ``Registration::getFitnessScore`` semantics
 (mean squared NN distance of the aligned source against the raw target
@@ -29,15 +30,16 @@ from .linalg3 import symeig3x3
 from .ndt import solve3x3_batch
 from .pointcloud import PointCloud
 from .voxel import (
-    GaussianVoxelMap,
-    VoxelMap,
-    build_gaussian_voxel_map,
-    build_voxel_map,
-    gather_gaussians,
-    knn,
+    DenseGaussianVoxelMap,
+    DenseVoxelMap,
+    build_dense_gaussian_voxel_map,
+    build_dense_voxel_map,
+    gather_gaussians_dense,
+    gather_neighbors_dense,
+    knn_dense,
 )
 
-K_CORRESPONDENCES = 20   # fast_gicp k_correspondences_ default
+K_CORRESPONDENCES = 20   # fast_gicp k_correspondences_ (see source_covariances)
 MIN_SRC_NEIGHBORS = 6
 MAX_ITERS = 30
 LC_MAX_ITERS = 100       # VgicpRegister::initForLC max iterations 100
@@ -48,10 +50,18 @@ LC_CONVERGE_EPS = 1e-6   # initForLC transformation epsilon
 # 3-point voxels of the pre-downsampled submap contribute
 MIN_VOXEL_POINTS = 3
 
+# source-covariance neighborhood (sensor frame): dense grid window sized to
+# the 80 m lidar range; radius-1 lookups at the 2 m grid cover a +-2 m
+# neighborhood around each point
+SRC_GRID = 2.0
+SRC_DIMS = (96, 96, 16)
+SRC_SLAB = 24
+SRC_RADIUS_SQ = 4.0
+
 
 class VgicpTarget(NamedTuple):
-    gauss: GaussianVoxelMap  # Gaussian voxels (means/covs)
-    pts: VoxelMap            # raw target points (fitness score NN)
+    gauss: DenseGaussianVoxelMap  # Gaussian voxels (means/covs)
+    pts: DenseVoxelMap            # raw target points (fitness score NN)
 
 
 class VgicpResult(NamedTuple):
@@ -61,16 +71,11 @@ class VgicpResult(NamedTuple):
     fitness: jax.Array
 
 
-@partial(jax.jit, static_argnames=("num_voxels",))
-def build_target(submap: PointCloud, resolution, origin: jax.Array,
-                 num_voxels: int) -> VgicpTarget:
-    gauss = build_gaussian_voxel_map(
-        submap, resolution, origin, num_voxels=num_voxels,
-        min_points=MIN_VOXEL_POINTS,
-    )
-    pts = build_voxel_map(
-        submap, resolution, origin, num_voxels=num_voxels, slab_size=8
-    )
+@partial(jax.jit, static_argnames=("dims",))
+def build_target(submap: PointCloud, resolution, center: jax.Array,
+                 dims) -> VgicpTarget:
+    gauss = build_dense_gaussian_voxel_map(submap, resolution, center, dims)
+    pts = build_dense_voxel_map(submap, resolution, center, dims, slab_size=8)
     return VgicpTarget(gauss, pts)
 
 
@@ -85,22 +90,28 @@ def _plane_regularize(covs: jax.Array, valid: jax.Array) -> jax.Array:
     return jnp.where(valid[:, None, None], reg, eye)
 
 
-@partial(jax.jit, static_argnames=("num_voxels",))
-def source_covariances(src: PointCloud, num_voxels: int = 16384):
-    """Per-source-point plane-regularized covariances from kNN in the source
-    (fast_gicp calculate_covariances, kNN=20 via kd-tree -> voxel-slab kNN).
+@jax.jit
+def source_covariances(src: PointCloud):
+    """Per-source-point plane-regularized covariances from the local
+    neighborhood (fast_gicp calculate_covariances role).
+
+    TPU redesign: instead of exact kNN=20 (kd-tree pointer chasing), the
+    scatter of ALL neighbors within a +-2 m window feeds the covariance —
+    the subsequent PLANE regularization keeps only the eigenvector frame,
+    for which the radius neighborhood is as good as the kNN one. One dense
+    scatter + one masked reduction; no key search, no top-k.
 
     Returns (covs (N, 3, 3), valid (N,)). Far-field points with fewer than
-    MIN_SRC_NEIGHBORS neighbors within the 2 m search window are excluded —
-    the kernel masks them out of the cost.
+    MIN_SRC_NEIGHBORS neighbors in the window are excluded.
     """
-    svm = build_voxel_map(src, 1.0, jnp.zeros(3, src.xyz.dtype),
-                          num_voxels=num_voxels, slab_size=16)
-    sq, nbrs, nvalid = knn(svm, src.xyz, src.mask, k=K_CORRESPONDENCES, radius=1)
-    w = nvalid.astype(src.xyz.dtype)
+    svm = build_dense_voxel_map(src, SRC_GRID, jnp.zeros(3, src.xyz.dtype),
+                                SRC_DIMS, slab_size=SRC_SLAB)
+    cand, ok = gather_neighbors_dense(svm, src.xyz, src.mask, radius=1)
+    d2 = jnp.sum((cand - src.xyz[:, None, :]) ** 2, axis=-1)
+    w = (ok & (d2 < SRC_RADIUS_SQ)).astype(src.xyz.dtype)
     cnt = jnp.sum(w, axis=1)
-    mean = jnp.sum(nbrs * w[..., None], axis=1) / jnp.maximum(cnt, 1.0)[:, None]
-    d = (nbrs - mean[:, None, :]) * w[..., None]
+    mean = jnp.sum(cand * w[..., None], axis=1) / jnp.maximum(cnt, 1.0)[:, None]
+    d = (cand - mean[:, None, :]) * w[..., None]
     cov = jnp.einsum("nki,nkj->nij", d, d) / jnp.maximum(cnt, 1.0)[:, None, None]
     valid = src.mask & (cnt >= MIN_SRC_NEIGHBORS)
     return _plane_regularize(cov, valid), valid
@@ -111,7 +122,7 @@ def _linearize(src: PointCloud, src_covs: jax.Array, src_valid: jax.Array,
     """GN normal equations of the D2D Mahalanobis cost at ``pose``."""
     p_map = geo.transform_points(pose, src.xyz)
     offs = jnp.zeros((1, 3), jnp.int32)  # DIRECT1: center voxel only
-    means, covs_t, valid_v = gather_gaussians(
+    means, covs_t, valid_v, _ = gather_gaussians_dense(
         target.gauss, p_map, src.mask, offs, min_points=MIN_VOXEL_POINTS
     )
     mu = means[:, 0, :]
@@ -179,7 +190,7 @@ def align(src: PointCloud, target: VgicpTarget, init_pose: jax.Array,
 
 
 @jax.jit
-def fitness_score(src: PointCloud, target_pts: VoxelMap, pose: jax.Array) -> jax.Array:
+def fitness_score(src: PointCloud, target_pts: DenseVoxelMap, pose: jax.Array) -> jax.Array:
     """Mean squared NN distance of the aligned source (PCL getFitnessScore).
 
     NN search is bounded by the voxel neighborhood (radius 1 of the target
@@ -188,7 +199,7 @@ def fitness_score(src: PointCloud, target_pts: VoxelMap, pose: jax.Array) -> jax
     diagonal.
     """
     p_map = geo.transform_points(pose, src.xyz)
-    sq, _, valid = knn(target_pts, p_map, src.mask, k=1, radius=1)
+    sq, _, valid = knn_dense(target_pts, p_map, src.mask, k=1, radius=1)
     d2 = sq[:, 0]
     ok = valid[:, 0] & src.mask
     n = jnp.maximum(jnp.sum(ok.astype(jnp.int32)), 1)

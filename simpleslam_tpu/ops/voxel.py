@@ -240,7 +240,200 @@ def knn(vm: VoxelMap, queries: jax.Array, q_mask: jax.Array, k: int,
 
 
 # ---------------------------------------------------------------------------
-# Gaussian voxel map (NDT / VGICP backend)
+# Dense local voxel grid (the fast registration target)
+# ---------------------------------------------------------------------------
+#
+# Profiling on the real chip showed the sorted-table lookup path is bound by
+# ``searchsorted`` (binary search = log2(V) sequential scalar-gather rounds,
+# ~32 ms per GN iteration at 8192x27 queries) while the actual slab gather is
+# ~0.3 ms. Registration targets are spatially windowed submaps (8 m keyframe
+# radius, MapManager.cpp:176-192), so the TPU-native answer is a DENSE grid
+# over a fixed window around the submap origin: voxel lookup becomes pure
+# index arithmetic + one row gather. Row G of the slab is a permanent padding
+# row; every out-of-window or empty lookup lands there with found=False.
+
+
+class DenseVoxelMap(NamedTuple):
+    """Dense voxel grid with per-voxel point slabs.
+
+    slab:   (Gx*Gy*Gz + 1, M, 3) f32; last row is the padding sentinel
+    counts: (Gx*Gy*Gz + 1,) int32
+    corner: (3,) f32 window minimum corner (world frame)
+    grid:   () f32
+    dims:   (3,) static ints carried via shape metadata (below)
+    """
+
+    slab: jax.Array
+    counts: jax.Array
+    corner: jax.Array
+    grid: jax.Array
+    dims: Tuple[int, int, int]
+
+    @property
+    def slab_size(self) -> int:
+        return self.slab.shape[1]
+
+
+# dims is static metadata: register DenseVoxelMap so dims rides in treedef
+jax.tree_util.register_pytree_node(
+    DenseVoxelMap,
+    lambda m: ((m.slab, m.counts, m.corner, m.grid), m.dims),
+    lambda dims, leaves: DenseVoxelMap(*leaves, dims),
+)
+
+
+def _dense_flat(c: jax.Array, dims: Tuple[int, int, int], valid: jax.Array) -> jax.Array:
+    """(..., 3) int voxel coords -> flat index, sentinel G for invalid."""
+    gx, gy, gz = dims
+    in_range = (
+        (c[..., 0] >= 0) & (c[..., 0] < gx)
+        & (c[..., 1] >= 0) & (c[..., 1] < gy)
+        & (c[..., 2] >= 0) & (c[..., 2] < gz)
+    )
+    flat = (c[..., 0] * gy + c[..., 1]) * gz + c[..., 2]
+    return jnp.where(valid & in_range, flat, gx * gy * gz)
+
+
+@partial(jax.jit, static_argnames=("dims", "slab_size"))
+def build_dense_voxel_map(pc: PointCloud, grid, center: jax.Array,
+                          dims: Tuple[int, int, int],
+                          slab_size: int) -> DenseVoxelMap:
+    """Scatter a padded cloud into a dense grid window centered at ``center``.
+
+    Points outside the window are dropped (callers size the window to cover
+    the submap: LOAM validity needs neighbors within 1 m anyway, so clipped
+    far points would never produce valid rows).
+    """
+    grid = jnp.asarray(grid, pc.xyz.dtype)
+    gx, gy, gz = dims
+    g_total = gx * gy * gz
+    corner = center - jnp.asarray([gx, gy, gz], pc.xyz.dtype) * grid / 2.0
+    c = jnp.floor((pc.xyz - corner) / grid).astype(jnp.int32)
+    flat = _dense_flat(c, dims, pc.mask)
+
+    # per-voxel rank via one sort over flat ids (padding sorts to the tail)
+    order = jnp.argsort(flat)
+    flat_s = flat[order]
+    xyz_s = pc.xyz[order]
+    n = flat_s.shape[0]
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), bool), flat_s[1:] != flat_s[:-1]])
+    start = jax.lax.cummax(jnp.where(is_new, jnp.arange(n, dtype=jnp.int32), 0))
+    rank = jnp.arange(n, dtype=jnp.int32) - start
+
+    keep = (flat_s < g_total) & (rank < slab_size)
+    slot = jnp.where(keep, flat_s * slab_size + rank, g_total * slab_size)
+    slab = jnp.full(((g_total + 1) * slab_size, 3), PAD_COORD, jnp.float32).at[
+        slot
+    ].set(xyz_s, mode="drop").reshape(g_total + 1, slab_size, 3)
+    counts = jax.ops.segment_sum(
+        keep.astype(jnp.int32), jnp.where(keep, flat_s, g_total),
+        num_segments=g_total + 1,
+    ).at[g_total].set(0)
+    return DenseVoxelMap(slab, counts, corner, grid, dims)
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def gather_neighbors_dense(dm: DenseVoxelMap, queries: jax.Array,
+                           q_mask: jax.Array, radius: int = 1
+                           ) -> Tuple[jax.Array, jax.Array]:
+    """Fixed-radius candidate gather from the dense grid (no key search).
+
+    queries (Q, 3) -> (candidates (Q, K*M, 3), validity (Q, K*M)).
+    """
+    offs = jnp.asarray(_neighbor_offsets(radius))  # (K, 3)
+    c = jnp.floor((queries - dm.corner) / dm.grid).astype(jnp.int32)
+    nc = c[:, None, :] + offs[None, :, :]  # (Q, K, 3)
+    flat = _dense_flat(nc, dm.dims, q_mask[:, None])  # (Q, K)
+    pts = dm.slab[flat]  # (Q, K, M, 3)
+    m = dm.slab_size
+    lane = jnp.arange(m, dtype=jnp.int32)
+    valid = lane[None, None, :] < dm.counts[flat][:, :, None]
+    q_, k_ = pts.shape[0], pts.shape[1]
+    return pts.reshape(q_, k_ * m, 3), valid.reshape(q_, k_ * m)
+
+
+@partial(jax.jit, static_argnames=("k", "radius"))
+def knn_dense(dm: DenseVoxelMap, queries: jax.Array, q_mask: jax.Array,
+              k: int, radius: int = 1) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """k nearest neighbors from the dense grid neighborhood (see ``knn``)."""
+    cand, valid = gather_neighbors_dense(dm, queries, q_mask, radius)
+    d2 = jnp.sum((cand - queries[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(valid, d2, jnp.inf)
+    neg_top, top_idx = jax.lax.top_k(-d2, k)
+    sq = -neg_top
+    nbrs = jnp.take_along_axis(cand, top_idx[:, :, None], axis=1)
+    return sq, nbrs, jnp.isfinite(sq)
+
+
+# ---------------------------------------------------------------------------
+# Dense Gaussian voxel map (fast NDT / VGICP target)
+# ---------------------------------------------------------------------------
+
+
+class DenseGaussianVoxelMap(NamedTuple):
+    """Dense grid of Gaussian moments; row G is the zeroed padding sentinel."""
+
+    means: jax.Array   # (G+1, 3)
+    covs: jax.Array    # (G+1, 3, 3)
+    counts: jax.Array  # (G+1,)
+    corner: jax.Array  # (3,)
+    grid: jax.Array    # ()
+    dims: Tuple[int, int, int]
+
+
+jax.tree_util.register_pytree_node(
+    DenseGaussianVoxelMap,
+    lambda m: ((m.means, m.covs, m.counts, m.corner, m.grid), m.dims),
+    lambda dims, leaves: DenseGaussianVoxelMap(*leaves, dims),
+)
+
+
+@partial(jax.jit, static_argnames=("dims",))
+def build_dense_gaussian_voxel_map(pc: PointCloud, grid, center: jax.Array,
+                                   dims: Tuple[int, int, int]
+                                   ) -> DenseGaussianVoxelMap:
+    """Per-voxel Gaussian moments scattered into a dense window (no sort)."""
+    grid = jnp.asarray(grid, pc.xyz.dtype)
+    gx, gy, gz = dims
+    g_total = gx * gy * gz
+    corner = center - jnp.asarray([gx, gy, gz], pc.xyz.dtype) * grid / 2.0
+    c = jnp.floor((pc.xyz - corner) / grid).astype(jnp.int32)
+    flat = _dense_flat(c, dims, pc.mask)
+
+    counts = jax.ops.segment_sum(
+        pc.mask.astype(jnp.int32), flat, num_segments=g_total + 1)
+    xyz = jnp.where(pc.mask[:, None], pc.xyz, 0.0)
+    sums = jax.ops.segment_sum(xyz, flat, num_segments=g_total + 1)
+    outer = (xyz[:, :, None] * xyz[:, None, :]).reshape(-1, 9)
+    sums2 = jax.ops.segment_sum(outer, flat, num_segments=g_total + 1)
+    cnt = jnp.maximum(counts, 1).astype(sums.dtype)
+    means = sums / cnt[:, None]
+    e2 = sums2.reshape(g_total + 1, 3, 3) / cnt[:, None, None]
+    covs = e2 - means[:, :, None] * means[:, None, :]
+    counts = counts.at[g_total].set(0)
+    means = means.at[g_total].set(0.0)
+    covs = covs.at[g_total].set(0.0)
+    return DenseGaussianVoxelMap(means, covs, counts, corner, grid, dims)
+
+
+def gather_gaussians_dense(dgm: DenseGaussianVoxelMap, queries: jax.Array,
+                           q_mask: jax.Array, offsets: jax.Array,
+                           min_points: int = 6):
+    """Dense-index Gaussian lookup: -> (means, covs, valid, flat_idx).
+
+    ``flat_idx`` (Q, K) lets callers gather side tables (e.g. precomputed
+    precision matrices) along the same indices without a second lookup.
+    """
+    c = jnp.floor((queries - dgm.corner) / dgm.grid).astype(jnp.int32)
+    nc = c[:, None, :] + offsets[None, :, :]
+    flat = _dense_flat(nc, dgm.dims, q_mask[:, None])
+    valid = dgm.counts[flat] >= min_points
+    return dgm.means[flat], dgm.covs[flat], valid, flat
+
+
+# ---------------------------------------------------------------------------
+# Gaussian voxel map (NDT / VGICP backend, sorted-table variant)
 # ---------------------------------------------------------------------------
 
 class GaussianVoxelMap(NamedTuple):

@@ -48,6 +48,8 @@ DEFAULT_PARAMS: dict = {
             "fitnessThreshold": 0.3,
         },
         "context": {
+            "used": "scancontext",  # place-recognition plugin (see models/context.py)
+            "distcontext": {"distThres": 5.0},
             "scancontext": {
                 "numExcludeRecent": 40,
                 "buildTreeGap": 10,
@@ -64,8 +66,13 @@ DEFAULT_PARAMS: dict = {
         "scan_capacity": 32768,      # raw scan points
         "ds_scan_capacity": 8192,    # downsampled scan points fed to PCR
         "submap_capacity": 131072,   # submap points
-        "map_voxel_capacity": 65536, # voxel slots in the neighbor map
+        "map_voxel_capacity": 65536, # voxel slots in the sorted neighbor map
         "max_pts_per_voxel": 8,
+        # dense registration-target grid (ops/voxel.py DenseVoxelMap): window
+        # dims in voxels around the submap anchor; at the 1 m LOAM grid this
+        # covers +-96 m xy / +-16 m z — the 80 m lidar range plus the 8 m
+        # submap radius. Lookup is pure index math (no key search).
+        "dense_grid_dims": [192, 192, 32],
         "max_keyframes": 2048,
         "max_edges": 8192,
     },

@@ -74,7 +74,7 @@ def test_detects_and_verifies_closure(lc_setup):
     results = lcm.lc_queue.snapshot()
     r = results[0]
     assert r.to_idx >= n_ring  # a revisit keyframe closed against ...
-    assert r.from_idx < r.to_idx - lcm.num_exclude_recent  # ... an old one
+    assert r.from_idx < r.to_idx - lcm.context.num_exclude_recent  # ... an old one
 
     # the between must reflect the TRUE relative pose (drift corrected by
     # VGICP against the undrifted history submap), not the drifted estimate

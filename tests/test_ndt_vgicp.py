@@ -47,10 +47,13 @@ def pose_error(T_est, T_gt):
     return np.linalg.norm(d[:3, 3]), np.arccos(np.clip((np.trace(d[:3, :3]) - 1) / 2, -1, 1))
 
 
+DIMS = (192, 192, 32)
+
+
 def test_ndt_align(fixture):
     submap, origin, src, T_gt, guess = fixture
-    gvm = vox.build_gaussian_voxel_map(submap, 1.0, origin, num_voxels=65536)
-    res = ndt_ops.align(src, gvm, jnp.asarray(guess.astype(np.float32)))
+    target = ndt_ops.build_target(submap, 1.0, origin, dims=DIMS)
+    res = ndt_ops.align(src, target, jnp.asarray(guess.astype(np.float32)))
     trans, rot = pose_error(res.pose, T_gt)
     assert bool(res.converged), (int(res.iters), float(res.score))
     assert trans < 0.15, trans
@@ -59,7 +62,7 @@ def test_ndt_align(fixture):
 
 def test_vgicp_align(fixture):
     submap, origin, src, T_gt, guess = fixture
-    target = vgicp_ops.build_target(submap, 1.0, origin, num_voxels=65536)
+    target = vgicp_ops.build_target(submap, 1.0, origin, dims=DIMS)
     res = vgicp_ops.align(src, target, jnp.asarray(guess.astype(np.float32)))
     trans, rot = pose_error(res.pose, T_gt)
     assert bool(res.converged), int(res.iters)
@@ -75,7 +78,7 @@ def test_vgicp_fitness_discriminates(fixture):
     """Fitness must separate a correct alignment from a 2 m misalignment —
     the property the LC acceptance threshold (0.3) relies on."""
     submap, origin, src, T_gt, _ = fixture
-    target = vgicp_ops.build_target(submap, 1.0, origin, num_voxels=65536)
+    target = vgicp_ops.build_target(submap, 1.0, origin, dims=DIMS)
     good = vgicp_ops.fitness_score(src, target.pts, jnp.asarray(T_gt.astype(np.float32)))
     bad_pose = T_gt.copy()
     bad_pose[:3, 3] += [2.0, 0.0, 0.0]
