@@ -28,6 +28,7 @@ from ..models.mapmanager import MapManager
 from ..models.registration import make_register
 from ..utils.config import Params
 from ..utils.logging import Logger
+from ..utils.profiling import annotate, trace
 from ..utils.tictoc import StageTimers, TicToc
 from . import simulate as sim
 
@@ -142,7 +143,9 @@ def run_offline(system: SlamSystem, streams: sim.SensorStreams,
                     wheel_i += 1
 
         tt = TicToc()
-        pose = system.lidar_odometry.generate_odom(float(stamp), streams.scans[si])
+        with annotate("odometry"):
+            pose = system.lidar_odometry.generate_odom(
+                float(stamp), streams.scans[si])
         timers.add("odometry", tt.toc())
         est_poses.append(pose)
         if system.register.is_converge or system.map_manager.is_submap_empty():
@@ -150,7 +153,8 @@ def run_offline(system: SlamSystem, streams: sim.SensorStreams,
 
         if system.map_manager.update_pending():
             tt.tic()
-            system.map_manager.update_map()
+            with annotate("map_update"):
+                system.map_manager.update_map()
             timers.add("map_update", tt.toc())
 
         if system.backend is not None and system.map_manager.kf_obj.is_event_coming():
@@ -193,6 +197,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--pcr", default=None, choices=[None, "loam", "ndt", "vgicp"])
     ap.add_argument("--out", default=None, help="map save dir")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace into DIR")
     args = ap.parse_args(argv)
 
     cfg = Params.load(args.config) if args.config else Params.load()
@@ -209,7 +215,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     streams = sim.simulate_sequence(world, n_scans=args.scans, seed=args.seed)
     system = SlamSystem()
     tt = TicToc()
-    result = run_offline(system, streams, progress=True)
+    with trace(args.trace):
+        result = run_offline(system, streams, progress=True)
     system.shutdown()
 
     ate = sim.ate_rmse(streams.gt_poses, result.poses)
