@@ -1,4 +1,7 @@
 """Round 2: vary inputs each call to defeat any result caching."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

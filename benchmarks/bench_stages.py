@@ -1,4 +1,7 @@
 """Stage-by-stage timing of the odometry hot path on the real chip."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

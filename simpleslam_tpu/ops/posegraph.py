@@ -29,6 +29,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import geometry as geo
 
@@ -72,7 +73,10 @@ def _prior_residual(xi, T, Tp):
     )
 
 
-_zero6 = jnp.zeros((6,), jnp.float32)
+# host scalar zeros: a module-level jnp array is a device-resident capture
+# that costs ~2 ms on every later dispatch under the axon IFRT proxy
+# (same pitfall as voxel.INVALID_KEY)
+_zero6 = np.zeros((6,), np.float32)
 
 
 def _linearize_edges(g: PoseGraph):

@@ -34,7 +34,12 @@ from .pointcloud import PAD_COORD, PointCloud
 _BITS = 10
 _HALF = 1 << (_BITS - 1)  # 512
 _RANGE = 1 << _BITS  # 1024
-INVALID_KEY = jnp.int32(1 << 30)  # sorts after any packed key (max 2^30 - 1)
+# Sorts after any packed key (max 2^30 - 1). MUST stay a host scalar
+# (np.int32, not jnp.int32): a module-level jnp constant is a device-resident
+# buffer captured by every program that closes over it, and under the axon
+# IFRT proxy one such captured buffer adds ~2 ms to EVERY subsequent dispatch
+# in the process (measured; see benchmarks/README.md).
+INVALID_KEY = np.int32(1 << 30)
 
 
 def voxel_coords(xyz: jax.Array, origin: jax.Array, grid: jax.Array) -> jax.Array:
