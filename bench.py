@@ -19,6 +19,7 @@ BASELINE_FPS = 4020.541 / 2049.108 * 10.0  # Binhai bag, 4-core CPU, 10 Hz scans
 def main() -> int:
     t_setup = time.perf_counter()
     from simpleslam_tpu.pipeline import app, simulate as sim
+    from simpleslam_tpu.pipeline.streamed import run_streamed
     from simpleslam_tpu.utils.config import Params
     from simpleslam_tpu.utils.logging import Logger
     import logging
@@ -38,13 +39,13 @@ def main() -> int:
                                     n_az=1800, n_el=16)
     system = app.SlamSystem()
 
-    # warmup: compile every kernel in the loop
+    # warmup: compile every kernel in the loop (streamed executor path)
     warm = sim.SensorStreams(
         streams.scan_stamps[:warmup], streams.scans[:warmup],
         streams.gt_poses[:warmup], streams.wheel_stamps[:0],
         streams.wheel_poses[:0], streams.imu_stamps[:0], streams.imu_quats[:0],
     )
-    app.run_offline(system, warm)
+    run_streamed(system, warm)
 
     rest = sim.SensorStreams(
         streams.scan_stamps[warmup:], streams.scans[warmup:],
@@ -52,7 +53,7 @@ def main() -> int:
         streams.wheel_poses[:0], streams.imu_stamps[:0], streams.imu_quats[:0],
     )
     t0 = time.perf_counter()
-    result = app.run_offline(system, rest)
+    result = run_streamed(system, rest)
     dt = time.perf_counter() - t0
 
     fps = (n_scans - warmup) / dt

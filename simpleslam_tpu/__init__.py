@@ -24,3 +24,14 @@ Layer map (mirrors reference layers, see SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# Registration/solver math is geometric f32: plane normals from ~5-point
+# scatters, SE(3) Jacobian products, 6x6 normal equations. The TPU MXU's
+# default f32 matmul truncates inputs to bf16 (~3 decimal digits), which is
+# coarser than the GN convergence thresholds (5e-3 over meter-scale
+# coordinates) — measured effect: scan2map convergence drops from ~100% on
+# CPU to ~30% on chip. These matmuls are a tiny fraction of the FLOPs
+# (gathers and element-wise dominate), so full f32 costs nothing observable.
+_jax.config.update("jax_default_matmul_precision", "highest")

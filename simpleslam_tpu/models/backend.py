@@ -151,6 +151,9 @@ class Backend:
             lambda o: type(o)(o.stamp, delta @ o.odom)
         )
         self.frontend.odom2map.store(delta @ self.frontend.odom2map.load())
+        # expose the rigid correction so executors holding pose state outside
+        # the frontend (pipeline/streamed.py device chain) can apply it too
+        self.last_delta = delta
         return True
 
     def _solve(self, kf_poses: List[np.ndarray], strong: bool) -> List[np.ndarray]:

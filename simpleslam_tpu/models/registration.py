@@ -118,19 +118,25 @@ class LoamRegister(PointCloudRegister):
 
     KIND = "loam"
 
-    # neighbor-search voxel size: must cover the 1.0 m kNN gate with radius 1
-    TARGET_GRID = 1.0
+    # neighbor-search voxel size: 2 * the 1.0 m kNN gate radius, so the
+    # corner-selected 2x2x2 gather (ops/voxel.py gather_neighbors_corner)
+    # covers the search ball with 8 HBM rows per query instead of 27 —
+    # the gather transactions are the dominant device cost of registration
+    TARGET_GRID = 2.0
 
     def build_target(self, submap: PointCloud, origin: jax.Array) -> vox.DenseVoxelMap:
         # dense window around the submap anchor: lookup is index arithmetic,
-        # which profiles ~100x faster per GN iteration than the sorted-table
-        # searchsorted path on real TPU hardware (see ops/voxel.py).
+        # not key search (searchsorted costs ~30 ms per GN iteration on real
+        # TPU hardware; see ops/voxel.py). Window extent matches the
+        # config's 1 m-grid dims, so halve the voxel counts at grid 2.0.
+        dims = tuple(max(int(d) // 2, 1)
+                     for d in self.tpu_cfg["dense_grid_dims"])
         return vox.build_dense_voxel_map(
             submap,
             self.TARGET_GRID,
             origin,
-            dims=tuple(int(d) for d in self.tpu_cfg["dense_grid_dims"]),
-            slab_size=int(self.tpu_cfg["max_pts_per_voxel"]),
+            dims=dims,
+            slab_size=int(self.tpu_cfg.get("loam_slab_size", 24)),
         )
 
     def scan2map(self, src: PointCloud, target, pose: np.ndarray):

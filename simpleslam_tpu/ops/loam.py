@@ -76,13 +76,16 @@ def build_normal_equations(src: PointCloud, vm: VoxelMap, pose: jax.Array):
     |x . a_i + 1| <= 0.2 |x| exactly for the fitted plane.
     """
     p_map = geo.transform_points(pose, src.xyz)
-    # dense grid = direct index arithmetic (fast path); sorted table = key
-    # search (kept for the sharded/dp path which shards the compact table)
+    # dense grid = corner-selected 2x2x2 gather (8 HBM rows/query; requires
+    # the map built with grid >= 2 * sqrt(MAX_SEARCH_SQ) — LoamRegister uses
+    # grid 2.0); sorted table = 27-cell key search (kept for the sharded/dp
+    # path which shards the compact table)
     if isinstance(vm, DenseVoxelMap):
-        from .voxel import gather_neighbors_dense as _gather
+        from .voxel import gather_neighbors_corner
+        cand, cand_ok = gather_neighbors_corner(vm, p_map, src.mask)
     else:
-        from .voxel import gather_neighbors as _gather
-    cand, cand_ok = _gather(vm, p_map, src.mask, 1)   # (N, C, 3), (N, C)
+        from .voxel import gather_neighbors
+        cand, cand_ok = gather_neighbors(vm, p_map, src.mask, 1)
     d2 = jnp.sum((cand - p_map[:, None, :]) ** 2, axis=-1)
     d2 = jnp.where(cand_ok, d2, jnp.inf)
 

@@ -73,6 +73,9 @@ DEFAULT_PARAMS: dict = {
         # covers +-96 m xy / +-16 m z — the 80 m lidar range plus the 8 m
         # submap radius. Lookup is pure index math (no key search).
         "dense_grid_dims": [192, 192, 32],
+        # slab capacity of the LOAM dense map (grid 2.0; a 2 m voxel of a
+        # 0.5 m-downsampled surface holds ~16 points, 24 leaves headroom)
+        "loam_slab_size": 24,
         "max_keyframes": 2048,
         "max_edges": 8192,
     },
