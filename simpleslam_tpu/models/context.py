@@ -99,11 +99,18 @@ class ScanContext(ContextBase):
                      num_candidates=self.num_candidates)
         return QueryResult(int(q.idx), float(q.yaw), float(q.min_dist))
 
+    @staticmethod
+    def _npy_path(path: str) -> str:
+        # np.save appends '.npy' to bare paths but np.load does not — a
+        # save/load round-trip on the same bare path would FileNotFoundError;
+        # normalize once for both directions (advisor finding, round 1)
+        return path if path.endswith(".npy") else path + ".npy"
+
     def save_context(self, path: str) -> None:
-        np.save(path, np.asarray(self.descs[: self.n_contexts]))
+        np.save(self._npy_path(path), np.asarray(self.descs[: self.n_contexts]))
 
     def load_context(self, path: str) -> None:
-        arr = np.load(path)
+        arr = np.load(self._npy_path(path))
         n = min(len(arr), self._cap)
         self.descs = self.descs.at[:n].set(jnp.asarray(arr[:n]))
         self.ring_keys = self.ring_keys.at[:n].set(

@@ -36,6 +36,11 @@ def _fractional_pose(step: np.ndarray, s: float) -> np.ndarray:
     R = step[:3, :3]
     cos_a = np.clip((np.trace(R) - 1) / 2, -1.0, 1.0)
     ang = np.arccos(cos_a)
+    if ang > np.pi - 1e-6:
+        # near-pi rotation: the axis extraction divides by 2*sin(ang) ~ 0 and
+        # would produce NaNs; fall back to the unscaled step (the reference's
+        # raw-last-pose behavior, LidarOdometry.cpp:137-153)
+        return step
     if ang > 1e-8:
         axis = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
                          R[1, 0] - R[0, 1]]) / (2 * np.sin(ang))

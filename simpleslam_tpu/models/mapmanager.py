@@ -26,6 +26,7 @@ import threading
 from dataclasses import dataclass, field
 from typing import Any, List, Optional, Set
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,6 +40,11 @@ from ..utils.logging import Logger
 
 MIN_KF_GAP = 1.0                    # MapManager.hpp:67
 SURROUNDING_KF_SEARCH_RADIUS = 8.0  # MapManager.hpp:68
+
+# donated in-place row update of the device keyframe store (no re-upload of
+# the whole buffer; the old buffer's memory is reused)
+_set_kf_row = jax.jit(lambda buf, i, row: buf.at[i].set(row),
+                      donate_argnums=0)
 
 
 @dataclass
@@ -115,6 +121,7 @@ class MapManager:
         self._target: Any = None                             # register-built table
         self._set_update = threading.Event()
         self._static_pcd_cloud: Optional[np.ndarray] = None
+        self._kf_store: Optional[jax.Array] = None
 
         if self.is_mapping:
             if self.save_map_dir:
@@ -232,6 +239,67 @@ class MapManager:
     def _host_downsample(self, xyz: np.ndarray) -> np.ndarray:
         """Host-side voxel downsample for persistence-sized clouds (native)."""
         return native.voxel_downsample_first(xyz, self.grid_size)
+
+    # -- device-resident keyframe store (streamed executor) -------------------
+    # Keyframe clouds live on device so submap rebuilds move only indices and
+    # poses over the host link; each cloud is uploaded exactly once at
+    # insertion. This is the TPU-shaped version of updateMap's keyframe
+    # gather (MapManager.cpp:176-192), with the kd-tree radius search
+    # replaced by a brute-force window select on host (K is small).
+    def enable_device_store(self) -> None:
+        if getattr(self, "_kf_store", None) is not None:
+            return
+        self.kf_capacity = int(self.tpu_cfg.get("kf_capacity", 8192))
+        self.kf_window = int(self.tpu_cfg.get("submap_kf_window", 16))
+        max_kf = int(self.tpu_cfg["max_keyframes"])
+        self._kf_store = jnp.full((max_kf, self.kf_capacity, 3),
+                                  pcops.PAD_COORD, jnp.float32)
+        # preload any reloaded keyframes (resume path)
+        with self.kf_obj.lock:
+            kfs = list(self.kf_obj.keyframes)
+        for i, kf in enumerate(kfs):
+            self.store_keyframe_cloud(i, kf.xyz)
+
+    def store_keyframe_cloud(self, idx: int, xyz: np.ndarray) -> None:
+        """Upload one keyframe cloud into its store row (donated update)."""
+        row = np.full((self.kf_capacity, 3), pcops.PAD_COORD, np.float32)
+        n = min(len(xyz), self.kf_capacity)
+        row[:n] = xyz[:n]
+        self._kf_store = _set_kf_row(self._kf_store, jnp.int32(idx),
+                                     jnp.asarray(row))
+
+    def update_map_device(self) -> None:
+        """Submap target rebuild on device (streamed-path update_map)."""
+        self._set_update.clear()
+        if not self.is_mapping:
+            return
+        with self.kf_obj.lock:
+            kfs = list(self.kf_obj.keyframes)
+        if not kfs:
+            self.lg.warn("no any keyframes to update!!")
+            return
+        pos = np.stack([k.pose[:3, 3] for k in kfs])
+        center = self.cur_pose.load()[:3, 3]
+        d2 = np.sum((pos - center) ** 2, axis=1)
+        sel = np.where(d2 <= SURROUNDING_KF_SEARCH_RADIUS ** 2)[0]
+        if len(sel) > self.kf_window:  # nearest-W if the window overflows
+            sel = sel[np.argsort(d2[sel])[: self.kf_window]]
+        w = self.kf_window
+        idx = np.zeros(w, np.int32)
+        poses = np.tile(np.eye(4, dtype=np.float32), (w, 1, 1))
+        maskw = np.zeros(w, bool)
+        for k, i in enumerate(sel):
+            idx[k] = i
+            poses[k] = kfs[i].pose.astype(np.float32)
+            maskw[k] = True
+        target = self.register.build_target_from_window(
+            self._kf_store, idx, poses, maskw,
+            center.astype(np.float32), self.grid_size)
+        with self.kf_obj.lock:
+            self.kf_obj.submap_idx = set(int(i) for i in sel)
+        with self._submap_lock:
+            self._submap_pc = None
+            self._target = target
 
     # -- accessors ------------------------------------------------------------
     def is_submap_empty(self) -> bool:

@@ -36,15 +36,13 @@ from ..utils.config import Params
 # op; through the TPU tunnel that dominates the whole frame time.
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("ds_capacity", "kind"))
-def _fused_odometry_step(raw: PointCloud, target: Any, init_pose: jax.Array,
-                         grid: jax.Array, ds_capacity: int, kind: str):
-    """downsample -> compact -> scan2map -> planar clamp, fused.
+def register_kind(ds: PointCloud, target: Any, init_pose: jax.Array,
+                  kind: str):
+    """Trace-time dispatch to the configured backend: (pose, conv, fitness).
 
-    Returns (clamped pose, converged, fitness, ds_scan). The planar clamp is
-    the per-frame SixDof2Mobile of LidarOdometry.cpp:211.
+    ``kind`` must be static under jit (it selects the program, exactly like
+    the reference's config-driven PCR choice, LidarOdometry.cpp:44-54).
     """
-    ds = pcops.compact(vox.voxel_downsample(raw, grid), ds_capacity)
     fit = jnp.float32(0.0)
     if kind == "loam":
         res = loam_ops.scan2map(ds, target, init_pose)
@@ -55,8 +53,52 @@ def _fused_odometry_step(raw: PointCloud, target: Any, init_pose: jax.Array,
     else:
         res = vgicp_ops.align(ds, target, init_pose)
         pose, conv, fit = res.pose, res.converged, res.fitness
+    return pose, conv, fit
+
+
+@partial(jax.jit, static_argnames=("ds_capacity", "kind"))
+def _fused_odometry_step(raw: PointCloud, target: Any, init_pose: jax.Array,
+                         grid: jax.Array, ds_capacity: int, kind: str):
+    """downsample -> compact -> scan2map -> planar clamp, fused.
+
+    Returns (clamped pose, converged, fitness, ds_scan). The planar clamp is
+    the per-frame SixDof2Mobile of LidarOdometry.cpp:211.
+    """
+    ds = pcops.compact(vox.voxel_downsample(raw, grid), ds_capacity)
+    pose, conv, fit = register_kind(ds, target, init_pose, kind)
     pose = geo.six_dof_to_mobile(pose)
     return pose, conv, fit, ds
+
+
+@partial(jax.jit, static_argnames=("builder",))
+def _fused_window_target(kf_buf: jax.Array, idx: jax.Array, poses: jax.Array,
+                         kf_mask: jax.Array, center: jax.Array,
+                         grid: jax.Array, builder):
+    """Submap target rebuild entirely on device from resident keyframes.
+
+    The streamed executor keeps every keyframe's downsampled cloud on device
+    (uploaded once, ~96 KB each); a rebuild then moves only a handful of
+    indices/poses over the host link instead of the merged ~1.5 MB submap
+    (the tunnel transfer was the hot path's bottleneck — see
+    pipeline/streamed.py). Semantics match MapManager::updateMap
+    (MapManager.cpp:151-201): gather keyframes in the window, transform to
+    map frame, concat, voxel-downsample at the map grid, build the
+    register's target.
+
+    kf_buf: (MAXKF, C, 3) resident clouds (PAD_COORD padded, sensor frame)
+    idx/poses/kf_mask: (W,) int32, (W, 4, 4) f32, (W,) bool window selection
+    builder: bound ``register.build_target`` (static; stable per register)
+    """
+    pts = kf_buf[idx]                                     # (W, C, 3)
+    valid = (pts[..., 0] < 0.5 * pcops.PAD_COORD) & kf_mask[:, None]
+    R = poses[:, :3, :3]
+    t = poses[:, :3, 3]
+    ptsw = jnp.einsum("wij,wcj->wci", R, pts) + t[:, None, :]
+    xyz = jnp.where(valid[..., None], ptsw, pcops.PAD_COORD).reshape(-1, 3)
+    mask = valid.reshape(-1)
+    merged = PointCloud(xyz, jnp.zeros(xyz.shape[:1], jnp.float32), mask)
+    ds = vox.voxel_downsample(merged, grid, center)
+    return builder(ds, center)
 
 
 @jax.jit
@@ -100,6 +142,20 @@ class PointCloudRegister:
         if self.KIND == "vgicp":
             self._fitness = float(fit)
         return np.asarray(p, np.float64), self.is_converge, ds
+
+    def build_target_from_window(self, kf_buf: jax.Array, idx: np.ndarray,
+                                 poses: np.ndarray, kf_mask: np.ndarray,
+                                 center: np.ndarray, grid: float):
+        """Device-side submap rebuild from resident keyframe clouds.
+
+        One jitted call (compiled once per register); only indices/poses
+        cross the host link. See ``_fused_window_target``.
+        """
+        return _fused_window_target(
+            kf_buf, jnp.asarray(idx, jnp.int32),
+            jnp.asarray(poses, jnp.float32), jnp.asarray(kf_mask),
+            jnp.asarray(center, jnp.float32), jnp.float32(grid),
+            self.build_target)
 
     def build_target_from_raw(self, pc: PointCloud, grid: float,
                               origin: jax.Array, cap: int):

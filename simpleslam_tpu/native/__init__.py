@@ -58,6 +58,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.voxel_downsample_first.argtypes = [f32p, i64, ctypes.c_float, f32p]
         lib.pad_cloud.restype = i64
         lib.pad_cloud.argtypes = [f32p, i64, i64, ctypes.c_float, f32p, u8p]
+        lib.voxel_downsample_centroid_pad.restype = i64
+        lib.voxel_downsample_centroid_pad.argtypes = [
+            f32p, i64, ctypes.c_float, i64, i64, ctypes.c_float, f32p]
         lib.transform_concat.restype = i64
         lib.transform_concat.argtypes = [f32p, i64p, f32p, i64, f32p]
         _lib = lib
@@ -87,6 +90,56 @@ def voxel_downsample_first(xyz: np.ndarray, grid: float) -> np.ndarray:
         xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(xyz),
         ctypes.c_float(grid), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out[:m].copy()
+
+
+def voxel_downsample_centroid_pad(xyz: np.ndarray, grid: float, capacity: int,
+                                  pad_coord: float, max_pts: int = 20):
+    """Centroid-per-voxel downsample into the padded device layout.
+
+    Returns (padded (capacity, 3) float32, valid count). Semantics match the
+    device ``ops.voxel.voxel_downsample`` (centroid of up to ``max_pts``
+    points per voxel, origin 0) with first-seen voxel output order; overflow
+    beyond ``capacity`` is stride-subsampled. This is the host half of the
+    streamed executor's hot path: downsampling before upload cuts the
+    host->device transfer ~4x (the tunnel link is the bottleneck, see
+    pipeline/streamed.py).
+    """
+    xyz = _f32c(xyz.reshape(-1, 3))
+    lib = _load()
+    if lib is None:
+        finite = np.isfinite(xyz).all(axis=1)
+        v = xyz[finite]
+        keys = np.floor(v / grid).astype(np.int64)
+        uq, first, inv, cnt = np.unique(
+            keys, axis=0, return_index=True, return_inverse=True,
+            return_counts=True)
+        # centroid over up to max_pts points per voxel, in input order
+        order = np.argsort(inv, kind="stable")
+        v_s = v[order]
+        inv_s = inv[order]
+        starts = np.searchsorted(inv_s, np.arange(len(uq)))
+        sums = np.zeros((len(uq), 3), np.float64)
+        counts = np.zeros(len(uq), np.int64)
+        pos_in_seg = np.arange(len(v_s)) - starts[inv_s]
+        take = pos_in_seg < max_pts
+        np.add.at(sums, inv_s[take], v_s[take])
+        np.add.at(counts, inv_s[take], 1)
+        cents = (sums / np.maximum(counts, 1)[:, None]).astype(np.float32)
+        cents = cents[np.argsort(first, kind="stable")]  # first-seen order
+        m = len(cents)
+        if m > capacity:
+            sel = (np.arange(capacity) * m // capacity)
+            cents = cents[sel]
+            m = capacity
+        out = np.full((capacity, 3), pad_coord, np.float32)
+        out[:m] = cents
+        return out, m
+    out = np.empty((capacity, 3), np.float32)
+    m = lib.voxel_downsample_centroid_pad(
+        xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(xyz),
+        ctypes.c_float(grid), max_pts, capacity, ctypes.c_float(pad_coord),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out, int(m)
 
 
 def pad_cloud(xyz: np.ndarray, capacity: int, pad_coord: float):

@@ -81,6 +81,73 @@ int64_t voxel_downsample_first(const float* xyz, int64_t n, float grid,
     return m;
 }
 
+// Centroid-per-voxel downsample written straight into the fixed-capacity
+// padded device layout (PCL VoxelGrid / pcp::voxelDownSampleV3 semantics:
+// mean of up to max_pts points per voxel, first-seen voxel order). If more
+// voxels than `capacity` survive, the output is stride-subsampled (uniform
+// spatial thinning) instead of prefix-truncated — a prefix cut in voxel-key
+// order would drop a contiguous spatial region. Rows beyond the valid count
+// are filled with pad_coord. Returns the valid count.
+int64_t voxel_downsample_centroid_pad(const float* xyz, int64_t n, float grid,
+                                      int64_t max_pts, int64_t capacity,
+                                      float pad_coord, float* out) {
+    struct Acc { double sx, sy, sz; int64_t cnt; };
+    // open-addressing map: key -> index into accs
+    size_t cap = 64;
+    while (cap < static_cast<size_t>(n) * 2) cap <<= 1;
+    std::vector<int64_t> slots(cap, 0);
+    std::vector<int32_t> idx(cap, -1);
+    const size_t mask = cap - 1;
+    std::vector<Acc> accs;
+    accs.reserve(static_cast<size_t>(n) / 4 + 16);
+    const float inv = 1.0f / grid;
+    for (int64_t i = 0; i < n; ++i) {
+        const float* p = xyz + 3 * i;
+        if (!std::isfinite(p[0]) || !std::isfinite(p[1]) || !std::isfinite(p[2]))
+            continue;
+        const int64_t key = voxel_key(p[0], p[1], p[2], inv);
+        size_t h = static_cast<size_t>(key * 0x9E3779B97F4A7C15LL) & mask;
+        while (idx[h] >= 0 && slots[h] != key) h = (h + 1) & mask;
+        if (idx[h] < 0) {
+            slots[h] = key;
+            idx[h] = static_cast<int32_t>(accs.size());
+            accs.push_back({p[0], p[1], p[2], 1});
+        } else {
+            Acc& a = accs[idx[h]];
+            if (a.cnt < max_pts) {
+                a.sx += p[0]; a.sy += p[1]; a.sz += p[2]; ++a.cnt;
+            }
+        }
+    }
+    const int64_t nv = static_cast<int64_t>(accs.size());
+    int64_t m = 0;
+    if (nv <= capacity) {
+        for (int64_t v = 0; v < nv; ++v) {
+            const Acc& a = accs[v];
+            out[3 * m] = static_cast<float>(a.sx / a.cnt);
+            out[3 * m + 1] = static_cast<float>(a.sy / a.cnt);
+            out[3 * m + 2] = static_cast<float>(a.sz / a.cnt);
+            ++m;
+        }
+    } else {
+        // uniform stride subsample onto the capacity grid
+        for (int64_t k = 0; k < capacity; ++k) {
+            const int64_t v = k * nv / capacity;
+            const Acc& a = accs[v];
+            out[3 * m] = static_cast<float>(a.sx / a.cnt);
+            out[3 * m + 1] = static_cast<float>(a.sy / a.cnt);
+            out[3 * m + 2] = static_cast<float>(a.sz / a.cnt);
+            ++m;
+        }
+    }
+    for (int64_t i = m; i < capacity; ++i) {
+        out[3 * i] = pad_coord;
+        out[3 * i + 1] = pad_coord;
+        out[3 * i + 2] = pad_coord;
+    }
+    return m;
+}
+
 // NaN-strip + pad/truncate into the fixed-capacity device layout:
 // out (capacity,3) filled with pad_coord beyond the valid prefix,
 // mask (capacity) bytes 0/1. Returns the valid count.

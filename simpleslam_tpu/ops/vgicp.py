@@ -75,7 +75,11 @@ class VgicpResult(NamedTuple):
 def build_target(submap: PointCloud, resolution, center: jax.Array,
                  dims) -> VgicpTarget:
     gauss = build_dense_gaussian_voxel_map(submap, resolution, center, dims)
-    pts = build_dense_voxel_map(submap, resolution, center, dims, slab_size=8)
+    # fitness-score map: cold path (one NN pass per align), so use narrow
+    # 32-lane rows — slab 8 needs 24 f32 lanes; 128-lane rows would cost
+    # ~600 MB of HBM at these dims (advisor finding, round 1)
+    pts = build_dense_voxel_map(submap, resolution, center, dims, slab_size=8,
+                                lane_quantum=32)
     return VgicpTarget(gauss, pts)
 
 

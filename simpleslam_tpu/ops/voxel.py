@@ -258,15 +258,19 @@ def knn(vm: VoxelMap, queries: jax.Array, q_mask: jax.Array, k: int,
 # row; every out-of-window or empty lookup lands there with found=False.
 
 
-def _row_lanes(slab_size: int) -> int:
-    """Slab row width in f32 lanes, padded to a multiple of 128.
+def _row_lanes(slab_size: int, quantum: int = 128) -> int:
+    """Slab row width in f32 lanes, padded to a multiple of ``quantum``.
 
     TPU gathers move whole rows; rows that are full 128-lane vectors gather
     ~6x faster than narrow ones (measured: 65k rows of 72 f32 = 2.8 ms,
-    of 128 f32 = 1.1 ms). The padding lanes carry PAD_COORD so validity is
-    recoverable from the coordinates alone — no separate counts gather.
+    of 128 f32 = 1.1 ms) — the registration hot path uses quantum 128.
+    Cold-path maps (e.g. the VGICP fitness map, built per loop-closure
+    candidate over large dims) pass a smaller quantum to bound HBM: at
+    slab 8 a 128-lane row is 104/128 padding (~600 MB at (192,192,32)).
+    The padding lanes carry PAD_COORD so validity is recoverable from the
+    coordinates alone — no separate counts gather.
     """
-    return -((slab_size * 3) // -128) * 128
+    return -((slab_size * 3) // -quantum) * quantum
 
 
 class DenseVoxelMap(NamedTuple):
@@ -313,10 +317,11 @@ def _dense_flat(c: jax.Array, dims: Tuple[int, int, int], valid: jax.Array) -> j
     return jnp.where(valid & in_range, flat, gx * gy * gz)
 
 
-@partial(jax.jit, static_argnames=("dims", "slab_size"))
+@partial(jax.jit, static_argnames=("dims", "slab_size", "lane_quantum"))
 def build_dense_voxel_map(pc: PointCloud, grid, center: jax.Array,
                           dims: Tuple[int, int, int],
-                          slab_size: int) -> DenseVoxelMap:
+                          slab_size: int,
+                          lane_quantum: int = 128) -> DenseVoxelMap:
     """Scatter a padded cloud into a dense grid window centered at ``center``.
 
     Points outside the window are dropped (callers size the window to cover
@@ -340,7 +345,7 @@ def build_dense_voxel_map(pc: PointCloud, grid, center: jax.Array,
     start = jax.lax.cummax(jnp.where(is_new, jnp.arange(n, dtype=jnp.int32), 0))
     rank = jnp.arange(n, dtype=jnp.int32) - start
 
-    w = _row_lanes(slab_size)
+    w = _row_lanes(slab_size, lane_quantum)
     keep = (flat_s < g_total) & (rank < slab_size)
     # scatter into flat 128-lane rows: element (v, rank*3 + c)
     slot = jnp.where(keep, flat_s * w + rank * 3, (g_total + 1) * w - 3)

@@ -1,36 +1,49 @@
-"""Streamed lo-mode odometry executor: device-resident pose chain, batched
-host synchronization.
+"""Streamed odometry executor: device-resident state, minimal link traffic.
 
 Why this exists: the per-scan classic path (``pipeline/app.py`` →
 ``LidarOdometry.generate_odom``) fetches the refined pose and convergence
-flag back to the host EVERY scan. On real TPU access paths a blocking
-device→host fetch costs a full round-trip (~30 ms through the axon relay,
-measured in benchmarks/), which dwarfs the ~0.3 ms of actual compute per
-scan. This executor re-architects the loop the TPU way:
+flag back to the host EVERY scan, and ships the full raw scan plus a merged
+submap over the host↔device link. On real TPU access paths the link is the
+bottleneck (measured on the axon tunnel: ~30 ms per sync round-trip,
+~60-100 MB/s transfer; the actual device compute of a fused odometry step is
+~0.3 ms). This executor re-architects the loop the TPU way:
 
-- the scan-to-scan pose chain (current + previous pose, for the constant-
-  velocity prediction) lives ON DEVICE and feeds the next dispatch directly
-  — dispatches are async and cost <1 ms;
-- per scan the host does exactly one upload (the padded raw scan; the
-  validity mask is derived on device from the padding sentinel);
-- results (pose, convergence, fitness) are stacked on device and fetched
-  ONCE per ``sync_every`` scans — one round-trip amortized over the batch;
-- keyframe selection, submap rebuilds, and backend passes run at batch
-  boundaries with <= ``sync_every`` scans of lag. The reference has the
-  same asynchrony by construction: its map-update and backend threads run
-  behind the odometry thread (MapManager.cpp:151-201, Backend.cpp:270).
-  A backend correction is applied to the device chain as the same rigid
-  ``delta`` broadcast the classic path applies to the frontend state.
+- the scan-to-scan pose chain (and, in lio mode, the odom→map transform)
+  lives ON DEVICE and feeds the next dispatch directly;
+- scans are voxel-downsampled ON HOST in the native C++ runtime by a
+  producer thread (the LidarDataProxy role: bounded SafeDeque, blocking
+  backpressure — dataproxy/src/LidarDataProxy.cpp:45-49), so each scan
+  uploads ~96 KB instead of ~384 KB raw;
+- keyframe clouds are uploaded once into a device-resident store; submap
+  target rebuilds run entirely on device (``MapManager.update_map_device``)
+  moving only indices and poses over the link (vs ~1.5 MB merged submaps);
+- K scans run as ONE program (``lax.scan`` over the scan axis): per-dispatch
+  chaining across the tunnel costs a scheduling round-trip per dependency,
+  folding the chain makes it K fused steps plus a single fetch;
+- results (pose, convergence, fitness) are fetched ONCE per ``sync_every``
+  scans; keyframe selection, submap rebuilds, and backend passes run at
+  batch boundaries with <= ``sync_every`` scans of lag. The reference has
+  the same asynchrony by construction: its map-update and backend threads
+  run behind the odometry thread (MapManager.cpp:151-201, Backend.cpp:270).
+  A backend correction is applied to the device pose chain as the same
+  rigid ``delta`` broadcast the classic path applies to the frontend state
+  (after EVERY solve that ran, matching optimHandler).
 
-lio mode stays on the classic path (its per-scan odom2map coupling needs
-the EKF stream host-side); ``run_offline`` remains the reference-faithful
-semantic baseline the tests compare against.
+lio mode: the whole wheel+IMU stream is fused up front in one compiled
+``lax.scan`` (``models/filter.ekf_replay`` — the TPU-native analogue of the
+EkfOdomProxy producer, EkfOdomProxy.cpp:185-248); the per-scan loose
+coupling ``init = odom2map ∘ local_odom`` / ``odom2map ← pose ∘
+local_odom⁻¹`` (LidarOdometry.cpp:129,238) rides the device chain.
+
+``run_offline`` remains the reference-faithful per-scan semantic baseline
+the tests compare against.
 """
 
 from __future__ import annotations
 
+import threading
 from functools import partial
-from typing import List
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,8 +51,10 @@ import numpy as np
 
 from .. import native
 from ..models.mapmanager import KeyFrame, MIN_KF_GAP
+from ..models.registration import register_kind
 from ..ops import geometry as geo
 from ..ops.pointcloud import PAD_COORD, PointCloud
+from ..utils.concurrency import SafeDeque
 from ..utils.config import Params
 from ..utils.logging import Logger
 from ..utils.tictoc import StageTimers, TicToc
@@ -47,56 +62,42 @@ from . import simulate as sim
 from .app import SlamResult, SlamSystem
 
 
-@partial(jax.jit, static_argnames=("ds_capacity", "kind"))
-def _streamed_step(raw_xyz: jax.Array, target, pose_prev: jax.Array,
-                   pose_prev2: jax.Array, grid: jax.Array,
-                   ds_capacity: int, kind: str):
-    """One odometry step with on-device constant-velocity prediction.
-
-    ``raw_xyz`` is the padded (capacity, 3) upload; padding lanes carry
-    PAD_COORD, so the validity mask is recovered on device (saves two
-    uploads per scan). Returns (pose (4,4), packed (18,) [pose16, conv, fit]).
-    """
-    from ..models.registration import _fused_odometry_step
-
-    mask = raw_xyz[:, 0] < 0.5 * PAD_COORD
-    pc = PointCloud(raw_xyz, jnp.zeros(raw_xyz.shape[:1], jnp.float32), mask)
-    step = geo.pose_compose(geo.pose_inverse(pose_prev2), pose_prev)
-    init = geo.pose_compose(pose_prev, step)
-    pose, conv, fit, _ = _fused_odometry_step(pc, target, init, grid,
-                                              ds_capacity, kind)
-    packed = jnp.concatenate([
-        pose.reshape(16), conv.astype(jnp.float32)[None], fit[None]])
-    return pose, packed
-
-
-@partial(jax.jit, static_argnames=("ds_capacity", "kind"))
-def _streamed_batch(raw_stack: jax.Array, target, pose_prev: jax.Array,
-                    pose_prev2: jax.Array, grid: jax.Array,
-                    ds_capacity: int, kind: str):
+@partial(jax.jit, static_argnames=("kind", "mode"))
+def _streamed_batch(ds_stack: jax.Array, local_odoms: jax.Array, target,
+                    pose_prev: jax.Array, pose_prev2: jax.Array,
+                    odom2map: jax.Array, kind: str, mode: str):
     """K odometry steps as ONE program: ``lax.scan`` over the scan axis.
 
-    Per-dispatch chaining across the tunnel costs a scheduling round-trip
-    per dependency (~45 ms each, measured); folding the chain into one
-    program makes it K fused steps of pure device time plus a single fetch.
-    ``raw_stack`` is (K, capacity, 3) padded scans. Returns
-    ((pose_K, pose_{K-1}), packed (K, 18)).
+    ``ds_stack`` is (K, C, 3) host-downsampled padded scans (the validity
+    mask is derived on device from the PAD_COORD sentinel). ``local_odoms``
+    is (K, 4, 4) EKF local odometry (lio mode; ignored in lo mode).
+    Returns ((pose_K, pose_{K-1}, odom2map_K), packed (K, 18)) where a
+    packed row is [pose16, converged, fitness].
     """
-    from ..models.registration import _fused_odometry_step
 
-    def one(carry, raw):
-        prev, prev2 = carry
+    def one(carry, inp):
+        prev, prev2, o2m = carry
+        raw, lo_pose = inp
         mask = raw[:, 0] < 0.5 * PAD_COORD
         pc = PointCloud(raw, jnp.zeros(raw.shape[:1], jnp.float32), mask)
-        step = geo.pose_compose(geo.pose_inverse(prev2), prev)
-        init = geo.pose_compose(prev, step)
-        pose, conv, fit, _ = _fused_odometry_step(pc, target, init, grid,
-                                                  ds_capacity, kind)
+        if mode == "lio":
+            # loose coupling: predict through odom2map (LidarOdometry.cpp:129)
+            init = geo.pose_compose(o2m, lo_pose)
+        else:
+            # constant-velocity prediction from the device chain
+            step = geo.pose_compose(geo.pose_inverse(prev2), prev)
+            init = geo.pose_compose(prev, step)
+        pose, conv, fit = register_kind(pc, target, init, kind)
+        pose = geo.six_dof_to_mobile(pose)  # planar clamp each frame
+        if mode == "lio":
+            # odom2map update (LidarOdometry.cpp:238)
+            o2m = geo.pose_compose(pose, geo.pose_inverse(lo_pose))
         packed = jnp.concatenate([
             pose.reshape(16), conv.astype(jnp.float32)[None], fit[None]])
-        return (pose, prev), packed
+        return (pose, prev, o2m), packed
 
-    carry, packed = jax.lax.scan(one, (pose_prev, pose_prev2), raw_stack)
+    carry, packed = jax.lax.scan(
+        one, (pose_prev, pose_prev2, odom2map), (ds_stack, local_odoms))
     return carry, packed
 
 
@@ -105,68 +106,189 @@ def _apply_delta(delta: jax.Array, pose: jax.Array) -> jax.Array:
     return geo.reorthonormalize(geo.pose_compose(delta, pose))
 
 
+class _ScanPrep:
+    """Producer thread: host voxel-downsample into the padded device layout.
+
+    The LidarDataProxy role (dataproxy/src/LidarDataProxy.cpp): a bounded
+    deque with blocking backpressure in bag mode. Downsampling on host (C++
+    runtime) before upload cuts the link transfer ~4x — the link, not
+    compute, bounds the streamed loop.
+    """
+
+    def __init__(self, scans, grid: float, capacity: int, depth: int = 32):
+        self.scans = scans
+        self.grid = grid
+        self.capacity = capacity
+        self.queue: SafeDeque = SafeDeque(capacity=depth)
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def _run(self) -> None:
+        try:
+            for i in range(len(self.scans)):
+                row, cnt = native.voxel_downsample_centroid_pad(
+                    np.asarray(self.scans[i], np.float32), self.grid,
+                    self.capacity, PAD_COORD)
+                if not self.queue.push_back((i, row, cnt), block=True):
+                    return  # aborted
+        except Exception:  # surface in get() as a missing item
+            self.queue.abort()
+
+    def get(self, i: int):
+        """Fetch scan ``i``'s prepped row (producer emits in order)."""
+        while True:
+            item = self.queue.consume_front(block=True, timeout=30.0)
+            if item is None:
+                raise RuntimeError("scan prep producer died or timed out")
+            if item[0] == i:
+                return item[1], item[2]
+            # skipped entries (bootstrap consumed out of band): drop
+
+    def close(self) -> None:
+        self.queue.abort()
+
+
 def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
-                 sync_every: int = 8, progress: bool = False) -> SlamResult:
-    """Replay ``streams`` through the streamed executor (lo mode only)."""
-    if system.mode != "lo":
-        raise ValueError("run_streamed supports lo mode; use run_offline for lio")
+                 sync_every: int = 16, progress: bool = False) -> SlamResult:
+    """Replay ``streams`` through the streamed executor (lo or lio mode)."""
     lg = Logger.get_instance()
     cfg = Params.get_instance()
     timers = StageTimers()
     tt_all = TicToc()
+    tt = TicToc()
 
     mm = system.map_manager
-    lo = system.lidar_odometry
-    cap = int(cfg["tpu"]["scan_capacity"])
-    dsc = int(cfg["tpu"]["ds_scan_capacity"])
-    grid = jnp.float32(lo.grid_size)
+    mm.enable_device_store()
+    grid = float(system.lidar_odometry.grid_size)
+    dsc = mm.kf_capacity  # one layout for scans and the keyframe store
     kind = system.register.KIND
+    mode = system.mode
 
     scan_stamps = np.asarray(streams.scan_stamps)
     n_scans = len(scan_stamps)
     est_poses: List[np.ndarray] = [np.eye(4)] * n_scans
     n_conv = 0
 
-    # --- bootstrap: scan 0 seeds the map exactly like the classic path -----
-    tt = TicToc()
-    pose0 = lo.generate_odom(float(scan_stamps[0]), streams.scans[0])
-    if mm.update_pending():
-        mm.update_map()
-    est_poses[0] = pose0
-    n_conv += 1
-    timers.add("odometry", tt.toc())
+    # lio: fuse the whole wheel+IMU stream in one compiled scan up front,
+    # then pick the closest local odom per scan stamp (the vectorized
+    # Frontend::getClosestLocalOdom, Frontend.cpp:25-52)
+    local_np = np.tile(np.eye(4, dtype=np.float32), (n_scans, 1, 1))
+    if mode == "lio":
+        from ..models import filter as flt
 
-    pose_prev = jnp.asarray(pose0.astype(np.float32))
+        tt.tic()
+        tape = flt.build_tape(streams.wheel_stamps, streams.wheel_poses,
+                              streams.imu_stamps, streams.imu_quats)
+        rep = flt.ekf_replay(tape)
+        emitted = np.asarray(rep.emitted)
+        lo_stamps = np.asarray(rep.stamps, np.float64)[emitted]
+        lo_states = np.asarray(rep.states, np.float64)[emitted]
+        if len(lo_stamps) == 0:
+            raise ValueError("lio mode needs wheel odometry in the stream")
+        nearest = np.clip(
+            np.searchsorted(lo_stamps, scan_stamps), 1, len(lo_stamps) - 1)
+        nearest -= (scan_stamps - lo_stamps[nearest - 1]
+                    < lo_stamps[nearest] - scan_stamps).astype(int)
+        for k in range(n_scans):
+            s = lo_states[nearest[k]]
+            c, sn = np.cos(s[2]), np.sin(s[2])
+            local_np[k, 0, 0] = c
+            local_np[k, 0, 1] = -sn
+            local_np[k, 1, 0] = sn
+            local_np[k, 1, 1] = c
+            local_np[k, 0, 3] = s[0]
+            local_np[k, 1, 3] = s[1]
+        timers.add("ekf_replay", tt.toc())
+
+    prep = _ScanPrep(streams.scans, grid, dsc)
+
+    # --- bootstrap ----------------------------------------------------------
+    # Fresh map: scan 0 seeds the map (generate_odom's empty-submap branch,
+    # LidarOdometry.cpp:155-160) with NO device registration — so the batch
+    # program below stays the only compiled program of the loop. Continuing
+    # run: scan 0 flows through the batch like any other scan.
+    si = 0
+    start_pose = mm.cur_pose.load().copy()
+    odom2map_np = np.eye(4)
+    if mode == "lio":
+        # odom2map so the chain starts at start_pose for the first local odom
+        odom2map_np = start_pose @ np.linalg.inv(local_np[0].astype(np.float64))
+    if mm.is_submap_empty():
+        tt.tic()
+        row0, cnt0 = prep.get(0)
+        pose0 = start_pose if mode != "lio" else (
+            odom2map_np @ local_np[0].astype(np.float64))
+        est_poses[0] = pose0
+        n_conv += 1
+        mm.set_cur_pose(pose0)
+        kf = KeyFrame(float(scan_stamps[0]), pose0, row0[:cnt0].copy())
+        lg.warn("at first, no submap here for now, build the map!!")
+        mm.put_keyframe(kf)
+        with mm.kf_obj.lock:
+            kf_idx = len(mm.kf_obj.keyframes) - 1
+        mm.store_keyframe_cloud(kf_idx, row0)
+        mm.update_map_device()
+        si = 1
+        timers.add("bootstrap", tt.toc())
+
+    pose_prev = jnp.asarray(est_poses[max(si - 1, 0)].astype(np.float32)) \
+        if si else jnp.asarray(start_pose.astype(np.float32))
     pose_prev2 = pose_prev  # zero-velocity start
-    last_kf_pos = pose0[:3, 3].copy()
+    odom2map = jnp.asarray(odom2map_np.astype(np.float32))
+    last_kf_pos = est_poses[0][:3, 3].copy() if si else start_pose[:3, 3].copy()
+    kf_rows = {}  # scan idx -> prepped row kept for keyframe upload
 
-    def dispatch(si: int, pose_prev, pose_prev2):
-        """Upload + dispatch one batch; returns (batch, packed, new chain).
-
-        The final partial batch is padded by repeating the last scan (extra
-        outputs ignored) so only one batch size ever compiles.
-        """
+    def dispatch(si: int, pose_prev, pose_prev2, odom2map):
+        """Prep + upload + dispatch one batch (final partial batch pads by
+        repeating the last scan; extra outputs ignored so only one batch
+        size ever compiles)."""
         batch = list(range(si, min(si + sync_every, n_scans)))
         target = mm.get_target()
-        raws = np.empty((sync_every, cap, 3), np.float32)
+        tt.tic()
+        rows = np.empty((sync_every, dsc, 3), np.float32)
         for k in range(sync_every):
             i = batch[min(k, len(batch) - 1)]
-            raws[k], _, _ = native.pad_cloud(
-                np.asarray(streams.scans[i], np.float32), cap, PAD_COORD)
+            if k < len(batch):
+                row, cnt = prep.get(i)
+                rows[k] = row
+                kf_rows[i] = (row, cnt)
+            else:
+                rows[k] = rows[len(batch) - 1]
+        timers.add("prep", tt.toc())
+        tt.tic()
+        rows_d = jnp.asarray(rows)
+        locals_d = jnp.asarray(local_np[batch[0]: batch[0] + sync_every]
+                               if len(batch) == sync_every else
+                               np.concatenate([
+                                   local_np[batch[0]: batch[-1] + 1],
+                                   np.tile(local_np[batch[-1]],
+                                           (sync_every - len(batch), 1, 1)),
+                               ]))
+        timers.add("upload", tt.toc())
+        tt.tic()
         pre = pose_prev
-        (pose_prev, pose_prev2), packed = _streamed_batch(
-            jnp.asarray(raws), target, pose_prev, pose_prev2, grid, dsc, kind)
+        (pose_prev, pose_prev2, odom2map), packed = _streamed_batch(
+            rows_d, locals_d, target, pose_prev, pose_prev2, odom2map,
+            kind, mode)
         if len(batch) < sync_every:
             # partial tail: rewind the device chain to the real last scan
             pose_prev = packed[len(batch) - 1, :16].reshape(4, 4)
             pose_prev2 = (packed[len(batch) - 2, :16].reshape(4, 4)
                           if len(batch) >= 2 else pre)
-        return batch, packed, pose_prev, pose_prev2
+            if mode == "lio":
+                odom2map = _apply_delta(
+                    pose_prev,
+                    geo.pose_inverse(jnp.asarray(local_np[batch[-1]])))
+        timers.add("dispatch", tt.toc())
+        return batch, packed, pose_prev, pose_prev2, odom2map
 
     def retire(batch, packed) -> None:
         """Fetch one batch's results and do the lagged host bookkeeping."""
-        nonlocal n_conv, last_kf_pos, pose_prev, pose_prev2
+        nonlocal n_conv, last_kf_pos, pose_prev, pose_prev2, odom2map
+        tt.tic()
         stacked = np.asarray(packed)  # ONE fetch per batch
+        timers.add("fetch", tt.toc())
+        tt.tic()
         for k, i in enumerate(batch):
             pose = stacked[k, :16].reshape(4, 4).astype(np.float64)
             conv = stacked[k, 16] > 0.5
@@ -176,49 +298,61 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
             est_poses[i] = pose
             mm.set_cur_pose(pose)  # fires the >1 m map-update notify itself
             if np.linalg.norm(pose[:3, 3] - last_kf_pos) > MIN_KF_GAP:
-                kf_xyz = mm._host_downsample(
-                    np.asarray(streams.scans[i], np.float32))
-                mm.put_keyframe(KeyFrame(float(scan_stamps[i]), pose, kf_xyz))
+                row, cnt = kf_rows[i]
+                if mm.put_keyframe(
+                        KeyFrame(float(scan_stamps[i]), pose,
+                                 row[:cnt].copy())):
+                    with mm.kf_obj.lock:
+                        kf_idx = len(mm.kf_obj.keyframes) - 1
+                    mm.store_keyframe_cloud(kf_idx, row)
                 last_kf_pos = pose[:3, 3].copy()
+            kf_rows.pop(i, None)
+        timers.add("bookkeep", tt.toc())
 
-        # backend pass + rigid correction onto the device chain
+        # backend pass + rigid correction onto the device chain, applied
+        # after EVERY solve that ran (optimHandler applies its delta per
+        # pass, Backend.cpp:310-346)
         if system.backend is not None and mm.kf_obj.is_event_coming():
-            ran = system.backend.optim_once()
+            tt.tic()
+            if system.backend.optim_once():
+                _apply_backend_delta()
             if system.loop_closure is not None and \
                     system.loop_closure.lc_handler_once():
-                ran = system.backend.optim_once() or ran
-            if ran:
-                delta = jnp.asarray(
-                    system.backend.last_delta.astype(np.float32))
-                pose_prev = _apply_delta(delta, pose_prev)
-                pose_prev2 = _apply_delta(delta, pose_prev2)
+                if system.backend.optim_once():
+                    _apply_backend_delta()
+            timers.add("backend", tt.toc())
 
         if mm.update_pending():
-            mm.update_map()
+            tt.tic()
+            mm.update_map_device()
+            timers.add("map_update", tt.toc())
+
+    def _apply_backend_delta() -> None:
+        nonlocal pose_prev, pose_prev2, odom2map
+        delta = jnp.asarray(system.backend.last_delta.astype(np.float32))
+        pose_prev = _apply_delta(delta, pose_prev)
+        pose_prev2 = _apply_delta(delta, pose_prev2)
+        odom2map = _apply_delta(delta, odom2map)
 
     # double-buffered drive: batch N+1 is dispatched BEFORE batch N is
     # fetched, so device execution overlaps the fetch round-trip. Note the
     # backend correction applied in retire() reaches the chain one batch
     # late — the in-flight batch was dispatched with pre-correction poses,
     # matching the classic path where corrections land between scans.
-    si = 1
     pending = None
     while si < n_scans or pending is not None:
-        tt.tic()
         fresh = None
         if si < n_scans:
-            fresh = dispatch(si, pose_prev, pose_prev2)
-            batch, packed, pose_prev, pose_prev2 = fresh
+            fresh = dispatch(si, pose_prev, pose_prev2, odom2map)
+            batch, packed, pose_prev, pose_prev2, odom2map = fresh
             si = batch[-1] + 1
         if pending is not None:
             retire(pending[0], pending[1])
-            dt = tt.toc()
-            for _ in pending[0]:
-                timers.add("odometry", dt / len(pending[0]))
             if progress:
                 lg.info("scan %d/%d", pending[0][-1] + 1, n_scans)
         pending = (fresh[0], fresh[1]) if fresh is not None else None
 
+    prep.close()
     wall = tt_all.elapsed()
     with mm.kf_obj.lock:
         kf_count = len(mm.kf_obj.keyframes)

@@ -65,6 +65,10 @@ DEFAULT_PARAMS: dict = {
     "tpu": {
         "scan_capacity": 32768,      # raw scan points
         "ds_scan_capacity": 8192,    # downsampled scan points fed to PCR
+        # streamed executor: device-resident keyframe store row capacity and
+        # the max keyframes merged per submap rebuild (8 m radius window)
+        "kf_capacity": 8192,
+        "submap_kf_window": 16,
         "submap_capacity": 131072,   # submap points
         "map_voxel_capacity": 65536, # voxel slots in the sorted neighbor map
         "max_pts_per_voxel": 8,

@@ -46,10 +46,18 @@ def test_streamed_with_backend():
     assert r.keyframe_count > 3
 
 
-def test_streamed_rejects_lio():
-    Params.load({"mode": "lio"})
+def test_streamed_lio():
+    """lio mode rides the device chain: the whole EKF stream is fused up
+    front (ekf_replay) and the odom2map loose coupling stays on device."""
+    Params.load({"mode": "lio",
+                 "backend": {"enable": False},
+                 "frontend": {"pcr": "loam"},
+                 "tpu": {"scan_capacity": 16384}})
     world = sim.make_world(seed=1)
-    streams = sim.simulate_sequence(world, n_scans=5, seed=1)
+    streams = sim.simulate_sequence(world, n_scans=30, seed=1)
     system = app.SlamSystem()
-    with pytest.raises(ValueError):
-        run_streamed(system, streams)
+    r = run_streamed(system, streams, sync_every=8)
+    ate = sim.ate_rmse(streams.gt_poses, r.poses, align=False)
+    assert ate < 0.3, ate
+    assert r.converged_frac > 0.85
+    assert r.keyframe_count > 2
