@@ -32,6 +32,7 @@ import os
 import threading
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -50,6 +51,13 @@ LC_VAR = np.array([1e-1, 1e-1, 1e-1, 1e-1, 1e-1, 1e-1])
 # g2o info matrices order (trans, rot) like ours; gtsam reorders on its own
 # load (Backend.cpp:186-190) — files interoperate both ways.
 
+# Donated in-place row setters for the device-resident factor graph: per
+# keyframe event only the NEW rows cross the host link (the iSAM2
+# incrementality role — per-event cost is O(new work), not O(capacity)).
+# One program per (shape, dtype) class; donation reuses the old buffer.
+_set_row = jax.jit(lambda buf, i, row: buf.at[i].set(row), donate_argnums=0)
+_set_true = jax.jit(lambda buf, i: buf.at[i].set(True), donate_argnums=0)
+
 
 class Backend:
     def __init__(self, frontend: Frontend, map_manager: MapManager,
@@ -66,13 +74,22 @@ class Backend:
         self.k_cap = int(tpu["max_keyframes"])
         self.e_cap = int(tpu["max_edges"])
 
-        # factor storage (host; shipped to device per solve)
+        # factor storage (host mirror for g2o persistence; the solver state
+        # is the device-resident graph below)
         self.edge_i: List[int] = []
         self.edge_j: List[int] = []
         self.edge_T: List[np.ndarray] = []
         self.edge_var: List[np.ndarray] = []
         self.prior_pose: Optional[np.ndarray] = None
         self._lock = threading.Lock()
+
+        # device-resident factor graph (iSAM2 incrementality role): built
+        # once, then per event only NEW keyframe poses / edges are written
+        # into their rows via donated updates; the optimized poses stay on
+        # device between solves (zero re-upload)
+        self._g: Optional[pgo.PoseGraph] = None
+        self._k_dev = 0  # pose rows synced to device
+        self._e_dev = 0  # edge rows synced to device
 
         self._load_factor_graph()
 
@@ -160,21 +177,61 @@ class Backend:
         k = len(kf_poses)
         with self._lock:
             e = len(self.edge_i)
-            g = self._build_graph(kf_poses)
+            g = self._sync_graph(kf_poses)
         # iSAM2-equivalent incremental budget: a couple of damped GN steps per
         # keyframe event, a stronger re-solve on loop closure
         # (update(1) vs +update(3), Backend.cpp:301-304)
         iters = 12 if strong else 4
         res = pgo.solve(g, max_iters=iters, cg_iters=64)
+        # keep the optimized poses device-resident for the next event
+        self._g = g._replace(poses=res.poses)
         self.lg.info("posegraph solve: k=%d e=%d chi2 %.4f -> %.4f (%d iters)",
                      k, e, float(res.cost0), float(res.cost), int(res.iters))
-        opt = np.asarray(res.poses, np.float64)
+        opt = np.asarray(res.poses[:k], np.float64)  # ONE O(k) fetch per event
         out = []
         for i in range(k):
             T = np.eye(4)
             T[:3, :4] = opt[i][:3, :4]
             out.append(T)
         return out
+
+    def _sync_graph(self, kf_poses: List[np.ndarray]) -> pgo.PoseGraph:
+        """Device graph with only the NEW rows shipped over the link.
+
+        First call builds the padded tensors once; afterwards each keyframe
+        event writes just its new pose/edge rows (donated in-place updates),
+        so per-event transfer is O(new work) — the iSAM2 incrementality role
+        without the Bayes tree (Backend.cpp:301-306's update(graph, init)).
+        The caller holds ``self._lock``.
+        """
+        k = len(kf_poses)
+        e = len(self.edge_i)
+        if self._g is None:
+            self._g = self._build_graph(kf_poses)
+            self._k_dev, self._e_dev = k, e
+            return self._g
+        g = self._g
+        poses, kmask = g.poses, g.kf_mask
+        for i in range(self._k_dev, k):
+            poses = _set_row(poses, jnp.int32(i),
+                             jnp.asarray(kf_poses[i], jnp.float32))
+            kmask = _set_true(kmask, jnp.int32(i))
+        ei, ej, eT, einfo, emask = (g.edge_i, g.edge_j, g.edge_T,
+                                    g.edge_info, g.edge_mask)
+        for n in range(self._e_dev, e):
+            ei = _set_row(ei, jnp.int32(n), jnp.int32(self.edge_i[n]))
+            ej = _set_row(ej, jnp.int32(n), jnp.int32(self.edge_j[n]))
+            eT = _set_row(eT, jnp.int32(n),
+                          jnp.asarray(self.edge_T[n], jnp.float32))
+            einfo = _set_row(einfo, jnp.int32(n), jnp.asarray(
+                1.0 / np.asarray(self.edge_var[n], np.float32)))
+            emask = _set_true(emask, jnp.int32(n))
+        self._k_dev, self._e_dev = k, e
+        self._g = pgo.PoseGraph(
+            poses=poses, kf_mask=kmask, edge_i=ei, edge_j=ej, edge_T=eT,
+            edge_info=einfo, edge_mask=emask,
+            prior_pose=g.prior_pose, prior_info=g.prior_info)
+        return self._g
 
     def _build_graph(self, kf_poses: List[np.ndarray]) -> pgo.PoseGraph:
         k = len(kf_poses)

@@ -58,8 +58,13 @@ def sharded_solve(mesh: Mesh, axis: str = "kf", max_iters: int = 10,
 
 
 def _ring_graph(k: int, k_cap: int, e_cap: int, drift: float = 0.05,
-                seed: int = 0) -> pgo.PoseGraph:
-    """Synthetic loop graph (circle + closure) for dry runs and scaling tests."""
+                seed: int = 0, n_lc: int = 0, return_gt: bool = False):
+    """Synthetic loop graph (circle + closures) for dry runs and scaling tests.
+
+    ``n_lc`` extra loop-closure edges connect diametrically-opposed nodes so
+    large graphs carry the long-range constraints a real LC-corrected SLAM
+    graph has (denser reductions, harder conditioning).
+    """
     from ..ops import geometry as geo
 
     rng = np.random.default_rng(seed)
@@ -69,27 +74,41 @@ def _ring_graph(k: int, k_cap: int, e_cap: int, drift: float = 0.05,
     gt[:, 1, 3] = 10.0 * np.sin(th)
     c, s = np.cos(th + np.pi / 2), np.sin(th + np.pi / 2)
     gt[:, 0, 0], gt[:, 0, 1], gt[:, 1, 0], gt[:, 1, 1] = c, -s, s, c
+    gt_inv = np.linalg.inv(gt)
 
+    n_e = k + n_lc
+    assert n_e <= e_cap, (n_e, e_cap)
     ei = np.zeros(e_cap, np.int32)
     ej = np.zeros(e_cap, np.int32)
     eT = np.tile(np.eye(4, dtype=np.float32), (e_cap, 1, 1))
     einfo = np.zeros((e_cap, 6), np.float32)
-    for a in range(k):
-        b = (a + 1) % k
-        ei[a], ej[a] = a, b
-        eT[a] = np.linalg.inv(gt[a]) @ gt[b]
-        einfo[a] = [10.0, 10.0, 10.0, 1e4, 1e4, 1e4]
-    emask = np.arange(e_cap) < k
+    nxt = (np.arange(k) + 1) % k
+    ei[:k] = np.arange(k)
+    ej[:k] = nxt
+    eT[:k] = np.einsum("kij,kjl->kil", gt_inv, gt[nxt]).astype(np.float32)
+    einfo[:k] = [10.0, 10.0, 10.0, 1e4, 1e4, 1e4]
+    if n_lc:
+        a = rng.integers(0, k, n_lc)
+        b = (a + k // 2) % k
+        ei[k:n_e] = a
+        ej[k:n_e] = b
+        eT[k:n_e] = np.einsum("kij,kjl->kil", gt_inv[a], gt[b]).astype(np.float32)
+        einfo[k:n_e] = [10.0, 10.0, 10.0, 1e4, 1e4, 1e4]
+    emask = np.arange(e_cap) < n_e
 
+    # drift the initial chain: one vmapped se3_exp for all steps, then a
+    # host-side cumulative compose (keeps graph construction O(k) dispatches
+    # -> O(1))
+    tw = (rng.normal(0, drift, (k - 1, 6)) * [1, 1, 1, .2, .2, .2]
+          ).astype(np.float32)
+    noises = np.asarray(jax.vmap(geo.se3_exp)(jnp.asarray(tw)))
     init = np.tile(np.eye(4, dtype=np.float32), (k_cap, 1, 1))
     init[0] = gt[0]
     for a in range(k - 1):
-        noise = np.asarray(geo.se3_exp(jnp.asarray(
-            (rng.normal(0, drift, 6) * [1, 1, 1, .2, .2, .2]).astype(np.float32))))
-        init[a + 1] = init[a] @ eT[a] @ noise
+        init[a + 1] = init[a] @ eT[a] @ noises[a]
     kmask = np.arange(k_cap) < k
 
-    return pgo.PoseGraph(
+    g = pgo.PoseGraph(
         poses=jnp.asarray(init), kf_mask=jnp.asarray(kmask),
         edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
         edge_T=jnp.asarray(eT), edge_info=jnp.asarray(einfo),
@@ -97,6 +116,7 @@ def _ring_graph(k: int, k_cap: int, e_cap: int, drift: float = 0.05,
         prior_pose=jnp.asarray(gt[0]),
         prior_info=jnp.asarray(np.full(6, 1e4, np.float32)),
     )
+    return (g, gt) if return_gt else g
 
 
 def dryrun(mesh: Mesh, axis: str | None = None) -> None:
