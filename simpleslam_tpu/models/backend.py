@@ -58,6 +58,14 @@ LC_VAR = np.array([1e-1, 1e-1, 1e-1, 1e-1, 1e-1, 1e-1])
 _set_row = jax.jit(lambda buf, i, row: buf.at[i].set(row), donate_argnums=0)
 _set_true = jax.jit(lambda buf, i: buf.at[i].set(True), donate_argnums=0)
 
+# Pack the whole solve result into ONE fixed-shape buffer so the host does a
+# single fetch per event. Fetching `poses[:k]` instead would compile a new
+# slice program for every new keyframe count (a per-event recompile) and cost
+# 4 sync round-trips (poses + 3 logged scalars) over the device link.
+_pack_solve = jax.jit(lambda poses, cost0, cost, iters: jnp.concatenate([
+    poses.reshape(-1),
+    jnp.stack([cost0, cost, iters.astype(jnp.float32)])]))
+
 
 class Backend:
     def __init__(self, frontend: Frontend, map_manager: MapManager,
@@ -185,9 +193,12 @@ class Backend:
         res = pgo.solve(g, max_iters=iters, cg_iters=64)
         # keep the optimized poses device-resident for the next event
         self._g = g._replace(poses=res.poses)
+        packed = np.asarray(_pack_solve(res.poses, res.cost0, res.cost,
+                                        res.iters))  # ONE fetch per event
+        cost0, cost, n_it = packed[-3], packed[-2], packed[-1]
         self.lg.info("posegraph solve: k=%d e=%d chi2 %.4f -> %.4f (%d iters)",
-                     k, e, float(res.cost0), float(res.cost), int(res.iters))
-        opt = np.asarray(res.poses[:k], np.float64)  # ONE O(k) fetch per event
+                     k, e, float(cost0), float(cost), int(n_it))
+        opt = packed[:-3].reshape(-1, 4, 4)[:k].astype(np.float64)
         out = []
         for i in range(k):
             T = np.eye(4)

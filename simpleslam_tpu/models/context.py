@@ -26,10 +26,19 @@ from typing import NamedTuple, Optional
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from ..ops import pointcloud as pcops
 from ..ops import scancontext as sc
 from ..utils.config import Params
 from ..utils.logging import Logger
+
+# donated in-place row setters for the descriptor database: appending a
+# context must not reallocate+copy the whole (cap, 20, 60) store per keyframe
+_set_desc = jax.jit(lambda buf, i, row: buf.at[i].set(row), donate_argnums=0)
+# one packed fetch for query results (3 scalars -> 1 link round-trip)
+_pack_query = jax.jit(lambda q: jnp.stack(
+    [q.idx.astype(jnp.float32), q.yaw, q.min_dist]))
 
 
 class QueryResult(NamedTuple):
@@ -88,8 +97,9 @@ class ScanContext(ContextBase):
         pc = pcops.from_numpy(xyz, self._pc_capacity)
         d = sc.make_descriptor(pc.xyz, pc.mask, self.lidar_height)
         i = self.n_contexts
-        self.descs = self.descs.at[i].set(d)
-        self.ring_keys = self.ring_keys.at[i].set(sc.ring_key(d))
+        self.descs = _set_desc(self.descs, jnp.int32(i), d)
+        self.ring_keys = _set_desc(self.ring_keys, jnp.int32(i),
+                                   sc.ring_key(d))
         self.n_contexts = i + 1
 
     def query(self, qid: int) -> QueryResult:
@@ -97,7 +107,8 @@ class ScanContext(ContextBase):
                      jnp.int32(self.num_exclude_recent),
                      jnp.float32(self.dist_thres),
                      num_candidates=self.num_candidates)
-        return QueryResult(int(q.idx), float(q.yaw), float(q.min_dist))
+        idx, yaw, min_dist = np.asarray(_pack_query(q))  # one fetch
+        return QueryResult(int(idx), float(yaw), float(min_dist))
 
     @staticmethod
     def _npy_path(path: str) -> str:

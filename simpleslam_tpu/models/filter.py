@@ -230,12 +230,35 @@ def build_tape(wheel_stamps: np.ndarray, wheel_poses: np.ndarray,
     wyaw = np.concatenate([wy, np.zeros(len(imu_stamps))])
     iyaw = np.concatenate([np.zeros(len(wheel_stamps)), iy])
     order = np.lexsort((is_wheel, stamps))  # stable: imu before wheel on ties
+    stamps, is_wheel = stamps[order], is_wheel[order]
+    xy, wyaw, iyaw = xy[order], wyaw[order], iyaw[order]
+
+    # pad to a power-of-2 bucket so ekf_replay compiles once per bucket, not
+    # once per stream length (each compile is seconds on a real chip). The
+    # padding events are IMU rows at the final stamp repeating the last IMU
+    # yaw: dt = 0 so predict adds no process noise, emitted stays False for
+    # non-wheel rows, and every real event precedes them in the scan — the
+    # consumed (stamps, states)[emitted] rows are bit-identical.
+    n = len(stamps)
+    # fixed floor of 4096: one compile covers every stream up to ~5.5 min of
+    # 20 Hz wheel + 100 Hz imu (scan steps are ~us each, padding is cheap);
+    # longer streams fall into power-of-2 buckets
+    cap = max(4096, 1 << int(np.ceil(np.log2(max(n, 1)))))
+    if cap > n:
+        pad = cap - n
+        last_t = stamps[-1] if n else 0.0
+        last_iy = iyaw[np.nonzero(~is_wheel)[0][-1]] if (~is_wheel).any() else 0.0
+        stamps = np.concatenate([stamps, np.full(pad, last_t)])
+        is_wheel = np.concatenate([is_wheel, np.zeros(pad, bool)])
+        xy = np.concatenate([xy, np.zeros((pad, 2))])
+        wyaw = np.concatenate([wyaw, np.zeros(pad)])
+        iyaw = np.concatenate([iyaw, np.full(pad, last_iy)])
     return EkfTape(
-        jnp.asarray(stamps[order], jnp.float32),
-        jnp.asarray(is_wheel[order]),
-        jnp.asarray(xy[order], jnp.float32),
-        jnp.asarray(wyaw[order], jnp.float32),
-        jnp.asarray(iyaw[order], jnp.float32),
+        jnp.asarray(stamps, jnp.float32),
+        jnp.asarray(is_wheel),
+        jnp.asarray(xy, jnp.float32),
+        jnp.asarray(wyaw, jnp.float32),
+        jnp.asarray(iyaw, jnp.float32),
     )
 
 

@@ -50,7 +50,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import native
-from ..models.mapmanager import KeyFrame, MIN_KF_GAP
+from ..models.mapmanager import KeyFrame, KFEvent, MIN_KF_GAP
 from ..models.registration import register_kind
 from ..ops import geometry as geo
 from ..ops.pointcloud import PAD_COORD, PointCloud
@@ -104,6 +104,77 @@ def _streamed_batch(ds_stack: jax.Array, local_odoms: jax.Array, target,
 @jax.jit
 def _apply_delta(delta: jax.Array, pose: jax.Array) -> jax.Array:
     return geo.reorthonormalize(geo.pose_compose(delta, pose))
+
+
+class _BackendWorker:
+    """Resident backend+LC thread (the optimHandler role, Backend.cpp:270-346).
+
+    The reference runs pose-graph optimization and loop closure on their own
+    threads behind the odometry loop; the round-1 streamed executor ran them
+    synchronously at batch boundaries, which put the solve's link round-trips
+    (plus the whole LC descriptor/verification chain) on the critical path —
+    measured at ~1.2 s per keyframe event on the TPU tunnel vs a ~6 ms/scan
+    odometry loop. This worker waits on the keyframe event bus
+    (``KeyFramesObj.event_cv``, the mKFcv analogue) and publishes each
+    solve's rigid correction; the main loop applies pending corrections to
+    the device pose chain between batches (corrections land a batch late —
+    same asynchrony the reference has by construction).
+    """
+
+    def __init__(self, system: SlamSystem, timers: StageTimers):
+        self.system = system
+        self.kf_obj = system.map_manager.kf_obj
+        self.timers = timers
+        self._deltas: List[np.ndarray] = []
+        self._dlock = threading.Lock()
+        self._stop = False
+        self._error: Optional[BaseException] = None
+        self.thread = threading.Thread(target=self._run, daemon=True,
+                                       name="backend")
+        self.thread.start()
+
+    def _run(self) -> None:
+        kf = self.kf_obj
+        tt = TicToc()
+        try:
+            while True:
+                with kf.lock:
+                    while kf._event == KFEvent.NONE and not self._stop:
+                        kf.event_cv.wait(timeout=0.1)
+                    if kf._event == KFEvent.NONE and self._stop:
+                        return
+                sys_ = self.system
+                tt.tic()
+                if sys_.backend.optim_once():
+                    self._push(sys_.backend.last_delta)
+                self.timers.add("backend", tt.toc())
+                if sys_.loop_closure is not None:
+                    tt.tic()
+                    if sys_.loop_closure.lc_handler_once():
+                        if sys_.backend.optim_once():
+                            self._push(sys_.backend.last_delta)
+                    self.timers.add("lc", tt.toc())
+        except BaseException as e:  # surface in the main loop
+            self._error = e
+
+    def _push(self, delta: np.ndarray) -> None:
+        with self._dlock:
+            self._deltas.append(delta.copy())
+
+    def drain(self) -> List[np.ndarray]:
+        if self._error is not None:
+            raise RuntimeError("backend worker died") from self._error
+        with self._dlock:
+            out, self._deltas = self._deltas, []
+        return out
+
+    def close(self) -> List[np.ndarray]:
+        """Finish processing queued events, stop, return final corrections."""
+        self._stop = True
+        with self.kf_obj.lock:
+            self.kf_obj.event_cv.notify_all()
+        self.thread.join()
+        return self.drain()
 
 
 class _ScanPrep:
@@ -201,6 +272,8 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
         timers.add("ekf_replay", tt.toc())
 
     prep = _ScanPrep(streams.scans, grid, dsc)
+    worker = (_BackendWorker(system, timers)
+              if system.backend is not None else None)
 
     # --- bootstrap ----------------------------------------------------------
     # Fresh map: scan 0 seeds the map (generate_odom's empty-submap branch,
@@ -309,27 +382,22 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
             kf_rows.pop(i, None)
         timers.add("bookkeep", tt.toc())
 
-        # backend pass + rigid correction onto the device chain, applied
-        # after EVERY solve that ran (optimHandler applies its delta per
-        # pass, Backend.cpp:310-346)
-        if system.backend is not None and mm.kf_obj.is_event_coming():
-            tt.tic()
-            if system.backend.optim_once():
-                _apply_backend_delta()
-            if system.loop_closure is not None and \
-                    system.loop_closure.lc_handler_once():
-                if system.backend.optim_once():
-                    _apply_backend_delta()
-            timers.add("backend", tt.toc())
+        # rigid corrections from the backend worker, applied to the device
+        # chain after EVERY solve that ran (optimHandler applies its delta
+        # per pass, Backend.cpp:310-346); the solves themselves run on the
+        # resident backend thread, off the odometry critical path
+        if worker is not None:
+            for delta in worker.drain():
+                _apply_backend_delta(delta)
 
         if mm.update_pending():
             tt.tic()
             mm.update_map_device()
             timers.add("map_update", tt.toc())
 
-    def _apply_backend_delta() -> None:
+    def _apply_backend_delta(delta_np: np.ndarray) -> None:
         nonlocal pose_prev, pose_prev2, odom2map
-        delta = jnp.asarray(system.backend.last_delta.astype(np.float32))
+        delta = jnp.asarray(delta_np.astype(np.float32))
         pose_prev = _apply_delta(delta, pose_prev)
         pose_prev2 = _apply_delta(delta, pose_prev2)
         odom2map = _apply_delta(delta, odom2map)
@@ -353,6 +421,12 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
         pending = (fresh[0], fresh[1]) if fresh is not None else None
 
     prep.close()
+    if worker is not None:
+        # drain queued keyframe events (reference shutdown joins the optim
+        # thread, Backend.cpp:349-358); final corrections reach the chain so
+        # a continuing run starts corrected
+        for delta in worker.close():
+            _apply_backend_delta(delta)
     wall = tt_all.elapsed()
     with mm.kf_obj.lock:
         kf_count = len(mm.kf_obj.keyframes)
