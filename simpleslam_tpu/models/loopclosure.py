@@ -48,6 +48,19 @@ class LCResult:
     between: np.ndarray  # (4, 4): T_from^-1 * T_to_refined
 
 
+# Seed the verification init from the descriptor yaw hint when it disagrees
+# with the current estimate by more than this (rad). The retrieval shift s
+# implies yaw(query) = yaw(old) - s*sector_angle (ops/scancontext.py query);
+# VGICP's loosened correspondence radius absorbs translation drift but not a
+# large rotation error, so big-angle revisits need the hint. Below the
+# threshold the odometry yaw is finer-grained than the 6 deg sector quantum.
+YAW_SEED_THRESH = 0.35
+
+
+def _wrap_angle(a: float) -> float:
+    return float(np.arctan2(np.sin(a), np.cos(a)))
+
+
 class LoopClosureManager:
     def __init__(self, map_manager: MapManager, context=None):
         cfg = Params.get_instance()
@@ -117,8 +130,22 @@ class LoopClosureManager:
             sub_pc = pcops.from_numpy(submap, cap)
             target = self.register.build_target(
                 sub_pc, jnp.asarray(old_pose[:3, 3].astype(np.float32)))
+            # yaw-hint seeding: rotate the init about z so the relative yaw
+            # matches the descriptor alignment for large-angle revisits
+            init_pose = cur_pose
+            psi_old = np.arctan2(old_pose[1, 0], old_pose[0, 0])
+            psi_cur = np.arctan2(cur_pose[1, 0], cur_pose[0, 0])
+            dpsi = _wrap_angle(psi_old - q.yaw - psi_cur)
+            if abs(dpsi) > YAW_SEED_THRESH:
+                c, s = np.cos(dpsi), np.sin(dpsi)
+                rz = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+                init_pose = cur_pose.copy()
+                init_pose[:3, :3] = rz @ cur_pose[:3, :3]
+                self.lg.info("yaw-hint seed: rotating LC init by %.2f rad",
+                             dpsi)
+
             src = pcops.from_numpy(scan_xyz, self._ctx_capacity)
-            refined, conv = self.register.scan2map(src, target, cur_pose)
+            refined, conv = self.register.scan2map(src, target, init_pose)
             fs = self.register.get_fitness_score()
             self.lg.info("%d to %d fitness score: %.4f (conv=%s)",
                          old_key, i, fs, conv)
