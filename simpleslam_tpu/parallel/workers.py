@@ -130,8 +130,12 @@ def registration_worker(payload: Dict[str, Any], num_processes: int,
         mh.make_global_array(pad, mesh, P()),
         mh.make_global_array(np.zeros(4 * n_map, np.float32), mesh, P()),
         mh.make_global_array(mask, mesh, P()))
-    vm = vox.build_voxel_map(map_pc, 1.0, jnp.zeros(3, jnp.float32),
-                             num_voxels=65536, slab_size=4)
+    # the FAST single-chip map: dense grid + corner gather (grid 2.0 >= 2 *
+    # search radius, ops/voxel.py gather_neighbors_corner). The dense slab
+    # replicates per device (16*16*8 rows x 128 lanes x 4 B ~ 1 MB here;
+    # ~50 MB at production dims — well inside per-chip HBM).
+    vm = vox.build_dense_voxel_map(map_pc, 2.0, jnp.zeros(3, jnp.float32),
+                                   dims=(16, 16, 8), slab_size=16)
 
     src = PointCloud(
         mh.make_global_array(src_np, mesh, P("dp")),

@@ -49,6 +49,30 @@ def test_sharded_scan2map_matches_single_device(reg_fixture):
     assert abs(int(res_sharded.n_valid) - int(res_single.n_valid)) <= 2
 
 
+def test_sharded_scan2map_dense_path(reg_fixture):
+    """The dense-grid (fast single-chip) target shards too and matches it."""
+    src, _, guess = reg_fixture
+    dm = vox.build_dense_voxel_map(
+        pcops.PointCloud(src.xyz, src.intensity, src.mask), 2.0,
+        jnp.zeros(3, jnp.float32), dims=(96, 96, 16), slab_size=16)
+    # rebuild the target from the module fixture's map points
+    rng = np.random.default_rng(7)
+    world = sim.make_world(seed=11)
+    scan = sim.simulate_scan(world, sim.sensor_from_body(np.eye(4)), rng=rng)
+    pc_map = pcops.from_numpy(scan, 32768)
+    ds = pcops.compact(vox.voxel_downsample(pc_map, 0.5), 16384)
+    dm = vox.build_dense_voxel_map(ds, 2.0, jnp.zeros(3, jnp.float32),
+                                   dims=(96, 96, 16), slab_size=16)
+    mesh = make_mesh(8, ("dp",))
+    fn = sharded_scan2map(mesh)
+    res_sharded = fn(src, dm, guess)
+    res_single = loam.scan2map(src, dm, guess)
+    assert bool(res_sharded.converged) == bool(res_single.converged)
+    np.testing.assert_allclose(
+        np.asarray(res_sharded.pose), np.asarray(res_single.pose), atol=5e-3
+    )
+
+
 def test_dryrun_multichip_entrypoint():
     import sys
     sys.path.insert(0, "/root/repo")
