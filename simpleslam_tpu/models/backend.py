@@ -81,6 +81,12 @@ class Backend:
         tpu = cfg["tpu"]
         self.k_cap = int(tpu["max_keyframes"])
         self.e_cap = int(tpu["max_edges"])
+        # bucketed device capacities: the padded solve costs O(capacity) per
+        # LM iteration, so a run with 30 keyframes must not pay for the
+        # (max_keyframes, max_edges) envelope. Buckets grow x4 on demand
+        # (rebuild + one recompile per growth — log4(max/min) times per run).
+        self._k_bucket = min(int(tpu.get("kf_bucket", 128)), self.k_cap)
+        self._e_bucket = min(int(tpu.get("edge_bucket", 512)), self.e_cap)
 
         # factor storage (host mirror for g2o persistence; the solver state
         # is the device-resident graph below)
@@ -88,6 +94,7 @@ class Backend:
         self.edge_j: List[int] = []
         self.edge_T: List[np.ndarray] = []
         self.edge_var: List[np.ndarray] = []
+        self.n_lc_edges = 0  # accepted loop-closure factors (observability)
         self.prior_pose: Optional[np.ndarray] = None
         self._lock = threading.Lock()
 
@@ -135,7 +142,9 @@ class Backend:
             r = self.lcm.lc_queue.consume_front()
             if r is None:
                 break
+            n0 = len(self.edge_i)
             self._add_between(r.from_idx, r.to_idx, r.between, LC_VAR)
+            self.n_lc_edges += len(self.edge_i) - n0
 
     # -- the optimization pass (Backend.cpp:270-346) --------------------------
     def optim_once(self) -> bool:
@@ -217,6 +226,12 @@ class Backend:
         """
         k = len(kf_poses)
         e = len(self.edge_i)
+        while k > self._k_bucket:
+            self._k_bucket = min(self._k_bucket * 4, self.k_cap)
+            self._g = None  # rebuild at the larger bucket
+        while e > self._e_bucket:
+            self._e_bucket = min(self._e_bucket * 4, self.e_cap)
+            self._g = None
         if self._g is None:
             self._g = self._build_graph(kf_poses)
             self._k_dev, self._e_dev = k, e
@@ -246,21 +261,22 @@ class Backend:
 
     def _build_graph(self, kf_poses: List[np.ndarray]) -> pgo.PoseGraph:
         k = len(kf_poses)
-        poses = np.tile(np.eye(4, dtype=np.float32), (self.k_cap, 1, 1))
+        kc, ec = self._k_bucket, self._e_bucket
+        poses = np.tile(np.eye(4, dtype=np.float32), (kc, 1, 1))
         poses[:k] = np.asarray(kf_poses, np.float32)
-        kf_mask = np.arange(self.k_cap) < k
+        kf_mask = np.arange(kc) < k
 
         e = len(self.edge_i)
-        ei = np.zeros(self.e_cap, np.int32)
-        ej = np.zeros(self.e_cap, np.int32)
-        eT = np.tile(np.eye(4, dtype=np.float32), (self.e_cap, 1, 1))
-        einfo = np.zeros((self.e_cap, 6), np.float32)
+        ei = np.zeros(ec, np.int32)
+        ej = np.zeros(ec, np.int32)
+        eT = np.tile(np.eye(4, dtype=np.float32), (ec, 1, 1))
+        einfo = np.zeros((ec, 6), np.float32)
         if e:
             ei[:e] = self.edge_i
             ej[:e] = self.edge_j
             eT[:e] = np.asarray(self.edge_T, np.float32)
             einfo[:e] = 1.0 / np.asarray(self.edge_var, np.float32)
-        emask = np.arange(self.e_cap) < e
+        emask = np.arange(ec) < e
 
         return pgo.PoseGraph(
             poses=jnp.asarray(poses),

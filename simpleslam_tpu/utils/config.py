@@ -82,6 +82,11 @@ DEFAULT_PARAMS: dict = {
         "loam_slab_size": 24,
         "max_keyframes": 2048,
         "max_edges": 8192,
+        # initial pose-graph device capacities; grow x4 on demand up to the
+        # max_* envelope (each growth rebuilds + recompiles once). Keeps the
+        # padded per-event solve O(actual graph), not O(envelope).
+        "kf_bucket": 128,
+        "edge_bucket": 512,
     },
 }
 
