@@ -30,6 +30,7 @@ from __future__ import annotations
 import math
 import os
 import threading
+from functools import partial
 from typing import List, Optional, Tuple
 
 import jax
@@ -51,12 +52,30 @@ LC_VAR = np.array([1e-1, 1e-1, 1e-1, 1e-1, 1e-1, 1e-1])
 # g2o info matrices order (trans, rot) like ours; gtsam reorders on its own
 # load (Backend.cpp:186-190) — files interoperate both ways.
 
-# Donated in-place row setters for the device-resident factor graph: per
+# Donated in-place row writes for the device-resident factor graph: per
 # keyframe event only the NEW rows cross the host link (the iSAM2
 # incrementality role — per-event cost is O(new work), not O(capacity)).
-# One program per (shape, dtype) class; donation reuses the old buffer.
-_set_row = jax.jit(lambda buf, i, row: buf.at[i].set(row), donate_argnums=0)
-_set_true = jax.jit(lambda buf, i: buf.at[i].set(True), donate_argnums=0)
+# ALL new pose and edge rows of one event land in ONE fused dispatch — on a
+# TPU tunnel each dispatch is a scheduling round-trip, so per-buffer setters
+# (7+ calls/event) would pay ~7x the latency for zero compute. Rows come in
+# fixed-size chunks (_SYNC_CHUNK) with a validity lane; invalid lanes write
+# the row's current value back (duplicate identical writes are well-defined).
+_SYNC_CHUNK = 8
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _write_rows(poses, kmask, ei, ej, eT, einfo, emask,
+                kidx, krows, kval, eidx, eiv, ejv, eTv, einfov, evalv):
+    poses = poses.at[kidx].set(
+        jnp.where(kval[:, None, None], krows, poses[kidx]))
+    kmask = kmask.at[kidx].set(kmask[kidx] | kval)
+    ei = ei.at[eidx].set(jnp.where(evalv, eiv, ei[eidx]))
+    ej = ej.at[eidx].set(jnp.where(evalv, ejv, ej[eidx]))
+    eT = eT.at[eidx].set(jnp.where(evalv[:, None, None], eTv, eT[eidx]))
+    einfo = einfo.at[eidx].set(
+        jnp.where(evalv[:, None], einfov, einfo[eidx]))
+    emask = emask.at[eidx].set(emask[eidx] | evalv)
+    return poses, kmask, ei, ej, eT, einfo, emask
 
 # Pack the whole solve result into ONE fixed-shape buffer so the host does a
 # single fetch per event. Fetching `poses[:k]` instead would compile a new
@@ -238,20 +257,40 @@ class Backend:
             return self._g
         g = self._g
         poses, kmask = g.poses, g.kf_mask
-        for i in range(self._k_dev, k):
-            poses = _set_row(poses, jnp.int32(i),
-                             jnp.asarray(kf_poses[i], jnp.float32))
-            kmask = _set_true(kmask, jnp.int32(i))
         ei, ej, eT, einfo, emask = (g.edge_i, g.edge_j, g.edge_T,
                                     g.edge_info, g.edge_mask)
-        for n in range(self._e_dev, e):
-            ei = _set_row(ei, jnp.int32(n), jnp.int32(self.edge_i[n]))
-            ej = _set_row(ej, jnp.int32(n), jnp.int32(self.edge_j[n]))
-            eT = _set_row(eT, jnp.int32(n),
-                          jnp.asarray(self.edge_T[n], jnp.float32))
-            einfo = _set_row(einfo, jnp.int32(n), jnp.asarray(
-                1.0 / np.asarray(self.edge_var[n], np.float32)))
-            emask = _set_true(emask, jnp.int32(n))
+        ki, en = self._k_dev, self._e_dev
+        while ki < k or en < e:
+            # one fused dispatch writes up to _SYNC_CHUNK new pose rows AND
+            # _SYNC_CHUNK new edge rows; invalid lanes are no-ops
+            kidx = np.zeros(_SYNC_CHUNK, np.int32)
+            krows = np.tile(np.eye(4, dtype=np.float32), (_SYNC_CHUNK, 1, 1))
+            kval = np.zeros(_SYNC_CHUNK, bool)
+            for c in range(min(_SYNC_CHUNK, k - ki)):
+                kidx[c] = ki + c
+                krows[c] = np.asarray(kf_poses[ki + c], np.float32)
+                kval[c] = True
+            eidx = np.zeros(_SYNC_CHUNK, np.int32)
+            eiv = np.zeros(_SYNC_CHUNK, np.int32)
+            ejv = np.zeros(_SYNC_CHUNK, np.int32)
+            eTv = np.tile(np.eye(4, dtype=np.float32), (_SYNC_CHUNK, 1, 1))
+            einfov = np.zeros((_SYNC_CHUNK, 6), np.float32)
+            evalv = np.zeros(_SYNC_CHUNK, bool)
+            for c in range(min(_SYNC_CHUNK, e - en)):
+                eidx[c] = en + c
+                eiv[c] = self.edge_i[en + c]
+                ejv[c] = self.edge_j[en + c]
+                eTv[c] = np.asarray(self.edge_T[en + c], np.float32)
+                einfov[c] = 1.0 / np.asarray(self.edge_var[en + c],
+                                             np.float32)
+                evalv[c] = True
+            poses, kmask, ei, ej, eT, einfo, emask = _write_rows(
+                poses, kmask, ei, ej, eT, einfo, emask,
+                jnp.asarray(kidx), jnp.asarray(krows), jnp.asarray(kval),
+                jnp.asarray(eidx), jnp.asarray(eiv), jnp.asarray(ejv),
+                jnp.asarray(eTv), jnp.asarray(einfov), jnp.asarray(evalv))
+            ki = min(ki + _SYNC_CHUNK, k)
+            en = min(en + _SYNC_CHUNK, e)
         self._k_dev, self._e_dev = k, e
         self._g = pgo.PoseGraph(
             poses=poses, kf_mask=kmask, edge_i=ei, edge_j=ej, edge_T=eT,

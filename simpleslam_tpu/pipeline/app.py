@@ -192,9 +192,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap = argparse.ArgumentParser(description="simpleslam_tpu offline replay")
     ap.add_argument("--config", default=None, help="params.json path")
     ap.add_argument("--synthetic", action="store_true", help="run the synthetic world")
+    ap.add_argument("--bag", default=None, metavar="PATH",
+                    help="replay a recorded ROS1 bag (the reference's "
+                         "primary mode, app/main.cpp:155-207)")
+    ap.add_argument("--scan-topic", default="/lidar_points")
+    ap.add_argument("--wheel-topic", default="/wheel_odom")
+    ap.add_argument("--imu-topic", default="/imu")
+    ap.add_argument("--kitti", default=None, metavar="VELODYNE_DIR",
+                    help="replay a KITTI-style velodyne .bin sequence")
     ap.add_argument("--scans", type=int, default=120)
     ap.add_argument("--mode", default=None, choices=[None, "lo", "lio"])
     ap.add_argument("--pcr", default=None, choices=[None, "loam", "ndt", "vgicp"])
+    ap.add_argument("--streamed", action="store_true",
+                    help="use the streamed executor (device-resident chain; "
+                         "the fast path bench.py measures)")
     ap.add_argument("--out", default=None, help="map save dir")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--trace", default=None, metavar="DIR",
@@ -211,19 +222,41 @@ def main(argv: Optional[List[str]] = None) -> int:
     Params.load(cfg)
 
     lg = Logger.get_instance()
-    world = sim.make_world(seed=args.seed)
-    streams = sim.simulate_sequence(world, n_scans=args.scans, seed=args.seed)
+    if args.bag:
+        from . import bagio
+
+        streams = bagio.streams_from_bag(
+            args.bag, args.scan_topic, args.wheel_topic, args.imu_topic)
+        has_gt = False
+    elif args.kitti:
+        from . import bagio
+
+        streams = bagio.kitti_streams(args.kitti, max_scans=args.scans)
+        has_gt = False
+    else:
+        world = sim.make_world(seed=args.seed)
+        streams = sim.simulate_sequence(world, n_scans=args.scans,
+                                        seed=args.seed)
+        has_gt = True
     system = SlamSystem()
     tt = TicToc()
     with trace(args.trace):
-        result = run_offline(system, streams, progress=True)
+        if args.streamed:
+            from .streamed import run_streamed
+
+            result = run_streamed(system, streams, progress=True)
+        else:
+            result = run_offline(system, streams, progress=True)
     system.shutdown()
 
-    ate = sim.ate_rmse(streams.gt_poses, result.poses)
-    rpe = sim.rpe_rmse(streams.gt_poses, result.poses, delta=10)
+    ate = rpe = float("nan")
+    if has_gt:
+        ate = sim.ate_rmse(streams.gt_poses, result.poses)
+        rpe = sim.rpe_rmse(streams.gt_poses, result.poses, delta=10)
     seq_dur = streams.scan_stamps[-1] - streams.scan_stamps[0]
-    lg.info("finished %d scans in %.2fs (%.1fx realtime)", args.scans,
-            result.wall_time, seq_dur / max(result.wall_time, 1e-9))
+    lg.info("finished %d scans in %.2fs (%.1fx realtime)",
+            len(streams.scan_stamps), result.wall_time,
+            seq_dur / max(result.wall_time, 1e-9))
     lg.info("ATE rmse %.3f m, RPE(1s) rmse %.3f m, %d keyframes, conv %.1f%%",
             ate, rpe, result.keyframe_count, 100 * result.converged_frac)
     print(result.timers.report())

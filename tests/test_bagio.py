@@ -138,3 +138,18 @@ def test_mapping_from_bag(tmp_path, streams):
     ate = sim.ate_rmse(streams.gt_poses, res.poses, align=False)
     assert res.converged_frac > 0.8
     assert ate < 0.5
+
+
+def test_cli_bag_replay(tmp_path, streams):
+    """The app CLI replays a recorded bag through the streamed executor and
+    persists the checkpoint artifacts (the app/main.cpp:155-207 user path)."""
+    from simpleslam_tpu.pipeline import app
+
+    path = str(tmp_path / "seq.bag")
+    out = str(tmp_path / "map")
+    bagio.bag_from_streams(streams, path)
+    rc = app.main(["--bag", path, "--streamed", "--mode", "lo", "--out", out])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "tum.txt"))
+    assert os.path.exists(os.path.join(out, "fg.g2o"))
+    assert os.path.exists(os.path.join(out, "0.pcd"))
