@@ -35,3 +35,21 @@ import jax as _jax
 # CPU to ~30% on chip. These matmuls are a tiny fraction of the FLOPs
 # (gathers and element-wise dominate), so full f32 costs nothing observable.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: the pipeline jit-compiles a handful of large
+# programs (registration while_loop, pose-graph LM, streamed executor chain);
+# first compile of each is tens of seconds on the real chip. Caching them on
+# disk makes every process after the first start in seconds (the reference's
+# analogue is simply being an AOT-compiled C++ binary).
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "SIMPLESLAM_JAX_CACHE", _os.path.expanduser("~/.cache/simpleslam_jax")
+)
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:  # pragma: no cover - cache is an optimization only
+    pass
