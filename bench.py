@@ -14,6 +14,7 @@ our full-mapping scans/s divided by that.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -41,12 +42,14 @@ def run_config(name, cfg, streams, sim, app, run_streamed, warmup):
     from simpleslam_tpu.utils.config import Params
 
     n = len(streams.scan_stamps)
+    sync_every = int(os.environ.get("SIMPLESLAM_SYNC_EVERY", "16"))
     Params.load(cfg)
     system = app.SlamSystem()
-    run_streamed(system, _subseq(streams, sim, 0, warmup))
+    run_streamed(system, _subseq(streams, sim, 0, warmup),
+                 sync_every=sync_every)
     rest = _subseq(streams, sim, warmup, None)
     t0 = time.perf_counter()
-    result = run_streamed(system, rest)
+    result = run_streamed(system, rest, sync_every=sync_every)
     dt = time.perf_counter() - t0
     fps = (n - warmup) / dt
     ate = sim.ate_rmse(streams.gt_poses[warmup:], result.poses, align=False)

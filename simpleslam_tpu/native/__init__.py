@@ -61,6 +61,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.voxel_downsample_centroid_pad.restype = i64
         lib.voxel_downsample_centroid_pad.argtypes = [
             f32p, i64, ctypes.c_float, i64, i64, ctypes.c_float, f32p]
+        lib.voxel_downsample_centroid_pad_batch.restype = None
+        lib.voxel_downsample_centroid_pad_batch.argtypes = [
+            f32p, i64p, i64, ctypes.c_float, i64, i64, ctypes.c_float, f32p,
+            i64p, i64]
         lib.transform_concat.restype = i64
         lib.transform_concat.argtypes = [f32p, i64p, f32p, i64, f32p]
         _lib = lib
@@ -140,6 +144,43 @@ def voxel_downsample_centroid_pad(xyz: np.ndarray, grid: float, capacity: int,
         ctypes.c_float(grid), max_pts, capacity, ctypes.c_float(pad_coord),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out, int(m)
+
+
+def voxel_downsample_centroid_pad_batch(scans, grid: float, capacity: int,
+                                        pad_coord: float, max_pts: int = 20):
+    """Batch of independent scans downsampled in ONE ctypes call.
+
+    The GIL is released for the whole batch and the C++ side parallelizes
+    over scans with OpenMP — on the few-core hosts the streamed executor
+    runs on, this beats Python-thread parallelism over single-scan calls
+    (pipeline/streamed.py producer). OpenMP width is capped at nproc-1 so
+    one core stays free for the device-link handling threads. Returns
+    ((B, capacity, 3) f32, (B,) counts). Semantics per scan identical to
+    voxel_downsample_centroid_pad.
+    """
+    lib = _load()
+    b = len(scans)
+    threads = max(1, (os.cpu_count() or 2) - 1)
+    if lib is None:
+        out = np.empty((b, capacity, 3), np.float32)
+        cnts = np.empty(b, np.int64)
+        for i, s in enumerate(scans):
+            out[i], cnts[i] = voxel_downsample_centroid_pad(
+                s, grid, capacity, pad_coord, max_pts)
+        return out, cnts
+    flat = [_f32c(np.asarray(s).reshape(-1, 3)) for s in scans]
+    concat = (np.concatenate(flat, axis=0) if flat
+              else np.zeros((0, 3), np.float32))
+    counts = np.asarray([len(f) for f in flat], np.int64)
+    out = np.empty((b, capacity, 3), np.float32)
+    out_counts = np.empty(b, np.int64)
+    lib.voxel_downsample_centroid_pad_batch(
+        concat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), b,
+        ctypes.c_float(grid), max_pts, capacity, ctypes.c_float(pad_coord),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), threads)
+    return out, out_counts
 
 
 def pad_cloud(xyz: np.ndarray, capacity: int, pad_coord: float):

@@ -148,6 +148,33 @@ int64_t voxel_downsample_centroid_pad(const float* xyz, int64_t n, float grid,
     return m;
 }
 
+// Batched form of the above: `n_scans` independent clouds concatenated in
+// `xyz` with per-cloud sizes in `counts`, downsampled in parallel (OpenMP
+// over scans — each scan's hash accumulate is sequential but scans are
+// independent). One ctypes call per batch keeps the GIL released for the
+// whole batch, so the Python producer thread stops serializing against the
+// executor's bookkeeping (pipeline/streamed.py; the streamed hosts have few
+// cores, so intra-call parallelism beats Python-thread parallelism).
+// out: (n_scans, capacity, 3); out_counts: (n_scans). `threads` caps the
+// OpenMP width — the caller leaves one core free for the device-link
+// handling threads (saturating every core measurably inflates the
+// host<->device fetch latency on 2-core hosts).
+void voxel_downsample_centroid_pad_batch(
+    const float* xyz, const int64_t* counts, int64_t n_scans, float grid,
+    int64_t max_pts, int64_t capacity, float pad_coord, float* out,
+    int64_t* out_counts, int64_t threads) {
+    std::vector<int64_t> offs(n_scans + 1, 0);
+    for (int64_t c = 0; c < n_scans; ++c) offs[c + 1] = offs[c] + counts[c];
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(dynamic) num_threads(static_cast<int>(threads))
+#endif
+    for (int64_t c = 0; c < n_scans; ++c) {
+        out_counts[c] = voxel_downsample_centroid_pad(
+            xyz + 3 * offs[c], counts[c], grid, max_pts, capacity, pad_coord,
+            out + 3 * capacity * c);
+    }
+}
+
 // NaN-strip + pad/truncate into the fixed-capacity device layout:
 // out (capacity,3) filled with pad_coord beyond the valid prefix,
 // mask (capacity) bytes 0/1. Returns the valid count.

@@ -61,3 +61,16 @@ def test_transform_concat(rng):
         for c, p in zip(clouds, poses)
     ])
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_voxel_downsample_batch_matches_single(rng):
+    scans = [rng.normal(size=(n, 3)).astype(np.float32) * 10.0
+             for n in (1000, 3777, 256)]
+    scans[1][5] = np.nan  # NaN rows stripped identically
+    rows, cnts = native.voxel_downsample_centroid_pad_batch(
+        scans, 0.5, 2048, 1e9)
+    assert rows.shape == (3, 2048, 3)
+    for i, s in enumerate(scans):
+        row1, cnt1 = native.voxel_downsample_centroid_pad(s, 0.5, 2048, 1e9)
+        assert cnt1 == cnts[i]
+        np.testing.assert_array_equal(rows[i], row1)
