@@ -22,7 +22,7 @@ from ..ops import pointcloud as pcops
 from ..utils.config import Params
 from ..utils.logging import Logger
 from .frontend import Frontend, Odometry
-from .mapmanager import KeyFrame, MapManager, MIN_KF_GAP
+from .mapmanager import KeyFrame, MapManager
 from .registration import make_register, _planar_clamp as _clamp
 
 
@@ -69,7 +69,6 @@ class LidarOdometry:
         self.reloc = False
         self.reloc_pose = np.eye(4)
         self._reloc_lock = threading.Lock()
-        self._last_kf_pos = np.zeros(3)
         self._velocity_model = bool(
             cfg["frontend"].get("velocity_model", True))
 
@@ -160,12 +159,10 @@ class LidarOdometry:
         return init_pose
 
     def _select_keyframe(self, kf: KeyFrame) -> None:
-        """Distance gate from the last *selected* keyframe (LidarOdometry.cpp:80-87)."""
-        cur = kf.pose[:3, 3]
-        if np.linalg.norm(cur - self._last_kf_pos) > MIN_KF_GAP:
-            if self.map_manager.put_keyframe(kf):
-                pass
-            self._last_kf_pos = cur
+        """Keyframe admission: MapManager owns the whole policy (the
+        selectKeyFrame pre-gate + the nearest-KF insert gate)."""
+        if self.map_manager.select_gate(kf.pose):
+            self.map_manager.put_keyframe(kf)
 
     def _keyframe_cloud(self, scan_xyz: np.ndarray) -> np.ndarray:
         """Keyframes store the host cloud downsampled at the map grid (the

@@ -115,6 +115,7 @@ class MapManager:
         self.kf_obj = KeyFramesObj()
         self.is_mapping = pcd_file is None
         self.cur_pose = AtomicVar(np.eye(4))
+        self._select_anchor = np.zeros(3)
         self._last_notify_pose = np.eye(4)
         self._submap_lock = threading.Lock()
         self._submap_pc: Optional[pcops.PointCloud] = None  # device padded cloud
@@ -169,6 +170,20 @@ class MapManager:
             )
         fileio.write_tum(self.save_map_dir, stamps, poses)
 
+    # -- keyframe admission policy ---------------------------------------------
+    # MapManager owns BOTH stages of the policy so executors cannot drift:
+    # ``select_gate`` is the cheap LidarOdometry::selectKeyFrame pre-gate
+    # (> MIN_KF_GAP from the last selected pose, LidarOdometry.cpp:80-87);
+    # ``put_keyframe`` is the nearest-keyframe insert gate
+    # (MapManager.cpp:122-149). Callers check select_gate first (it spares
+    # building the KeyFrame payload), then put_keyframe decides the insert.
+    def select_gate(self, pose: np.ndarray) -> bool:
+        cur = pose[:3, 3] if pose.ndim == 2 else pose
+        if np.linalg.norm(cur - self._select_anchor) > MIN_KF_GAP:
+            self._select_anchor = cur.copy()
+            return True
+        return False
+
     # -- keyframe insertion (MapManager.cpp:122-149) --------------------------
     def put_keyframe(self, kf: KeyFrame) -> bool:
         if not self.is_mapping:
@@ -178,6 +193,7 @@ class MapManager:
             if not kfs:
                 self.lg.warn("no any keyframes, start mapping at the very first time!!")
                 kfs.append(kf)
+                self._select_anchor = kf.pose[:3, 3].copy()
                 self.kf_obj.new_kf_is_coming()
                 return True
             pos = np.stack([k.pose[:3, 3] for k in kfs])
@@ -185,6 +201,7 @@ class MapManager:
             nn = int(np.argmin(d2))
             if d2[nn] > MIN_KF_GAP:  # squared-distance gate, reference quirk
                 kfs.append(kf)
+                self._select_anchor = kf.pose[:3, 3].copy()
                 self.kf_obj.closest_kf_idx.append(nn)
                 self.kf_obj.new_kf_is_coming()
                 return True

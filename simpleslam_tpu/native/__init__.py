@@ -35,6 +35,27 @@ def _build() -> bool:
         return False
 
 
+def _bind(lib: ctypes.CDLL) -> None:
+    """Declare every exported symbol's signature (raises AttributeError on a
+    stale library missing a newer symbol — callers rebuild once)."""
+    i64, f32p, u8p, i64p = (ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+                            ctypes.POINTER(ctypes.c_uint8),
+                            ctypes.POINTER(ctypes.c_int64))
+    lib.voxel_downsample_first.restype = i64
+    lib.voxel_downsample_first.argtypes = [f32p, i64, ctypes.c_float, f32p]
+    lib.pad_cloud.restype = i64
+    lib.pad_cloud.argtypes = [f32p, i64, i64, ctypes.c_float, f32p, u8p]
+    lib.voxel_downsample_centroid_pad.restype = i64
+    lib.voxel_downsample_centroid_pad.argtypes = [
+        f32p, i64, ctypes.c_float, i64, i64, ctypes.c_float, f32p]
+    lib.voxel_downsample_centroid_pad_batch.restype = None
+    lib.voxel_downsample_centroid_pad_batch.argtypes = [
+        f32p, i64p, i64, ctypes.c_float, i64, i64, ctypes.c_float, f32p,
+        i64p, i64]
+    lib.transform_concat.restype = i64
+    lib.transform_concat.argtypes = [f32p, i64p, f32p, i64, f32p]
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     with _lock:
@@ -47,28 +68,22 @@ def _load() -> Optional[ctypes.CDLL]:
         ):
             if not _build():
                 return None
-        try:
-            lib = ctypes.CDLL(_LIB)
-        except OSError:
-            return None
-        i64, f32p, u8p, i64p = (ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
-                                ctypes.POINTER(ctypes.c_uint8),
-                                ctypes.POINTER(ctypes.c_int64))
-        lib.voxel_downsample_first.restype = i64
-        lib.voxel_downsample_first.argtypes = [f32p, i64, ctypes.c_float, f32p]
-        lib.pad_cloud.restype = i64
-        lib.pad_cloud.argtypes = [f32p, i64, i64, ctypes.c_float, f32p, u8p]
-        lib.voxel_downsample_centroid_pad.restype = i64
-        lib.voxel_downsample_centroid_pad.argtypes = [
-            f32p, i64, ctypes.c_float, i64, i64, ctypes.c_float, f32p]
-        lib.voxel_downsample_centroid_pad_batch.restype = None
-        lib.voxel_downsample_centroid_pad_batch.argtypes = [
-            f32p, i64p, i64, ctypes.c_float, i64, i64, ctypes.c_float, f32p,
-            i64p, i64]
-        lib.transform_concat.restype = i64
-        lib.transform_concat.argtypes = [f32p, i64p, f32p, i64, f32p]
-        _lib = lib
-        return _lib
+        for attempt in range(2):
+            try:
+                lib = ctypes.CDLL(_LIB)
+                _bind(lib)
+            except OSError:
+                return None
+            except AttributeError:
+                # stale libhostops.so from an older source revision: rebuild
+                # once; if the fresh build still lacks the symbol, fall back
+                # to numpy rather than breaking every entry point
+                if attempt == 1 or not _build():
+                    return None
+                continue
+            _lib = lib
+            return _lib
+        return None
 
 
 def available() -> bool:

@@ -62,10 +62,25 @@ MIN_PLANAR_EV = 1e-2
 MAX_THICKNESS_EV = 2e-2
 
 
-def build_normal_equations(src: PointCloud, vm: VoxelMap, pose: jax.Array):
-    """One GN linearization: masked J^T J (6,6), J^T e (6,), n_valid.
+def gather_candidates(src: PointCloud, vm: VoxelMap, pose: jax.Array):
+    """Neighborhood candidate gather at ``pose`` — the HBM-heavy half.
 
-    This is the hot kernel: a batched gather + plane fit + two einsums.
+    dense grid = corner-selected 2x2x2 gather (8 HBM rows/query; requires
+    the map built with grid >= 2 * sqrt(MAX_SEARCH_SQ) — LoamRegister uses
+    grid 2.0); sorted table = 27-cell key search (kept for the sharded/dp
+    path which shards the compact table).
+    """
+    p_map = geo.transform_points(pose, src.xyz)
+    if isinstance(vm, DenseVoxelMap):
+        from .voxel import gather_neighbors_corner
+        return gather_neighbors_corner(vm, p_map, src.mask)
+    from .voxel import gather_neighbors
+    return gather_neighbors(vm, p_map, src.mask, 1)
+
+
+def normal_equations_from_candidates(src: PointCloud, cand: jax.Array,
+                                     cand_ok: jax.Array, pose: jax.Array):
+    """GN linearization against an already-gathered candidate set.
 
     The plane fit differs from the reference's unconstrained QR solve of
     A x = -1 (LoamRegister.cpp:29-44): we fit through the centered scatter's
@@ -76,16 +91,6 @@ def build_normal_equations(src: PointCloud, vm: VoxelMap, pose: jax.Array):
     |x . a_i + 1| <= 0.2 |x| exactly for the fitted plane.
     """
     p_map = geo.transform_points(pose, src.xyz)
-    # dense grid = corner-selected 2x2x2 gather (8 HBM rows/query; requires
-    # the map built with grid >= 2 * sqrt(MAX_SEARCH_SQ) — LoamRegister uses
-    # grid 2.0); sorted table = 27-cell key search (kept for the sharded/dp
-    # path which shards the compact table)
-    if isinstance(vm, DenseVoxelMap):
-        from .voxel import gather_neighbors_corner
-        cand, cand_ok = gather_neighbors_corner(vm, p_map, src.mask)
-    else:
-        from .voxel import gather_neighbors
-        cand, cand_ok = gather_neighbors(vm, p_map, src.mask, 1)
     d2 = jnp.sum((cand - p_map[:, None, :]) ** 2, axis=-1)
     d2 = jnp.where(cand_ok, d2, jnp.inf)
 
@@ -134,22 +139,66 @@ def build_normal_equations(src: PointCloud, vm: VoxelMap, pose: jax.Array):
     return JtJ, JtE, n_valid
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
-def scan2map(src: PointCloud, vm: VoxelMap, init_pose: jax.Array,
-             max_iters: int = MAX_ITERS) -> LoamResult:
-    """Full GN loop under ``lax.while_loop`` (compiled once per shape).
+def build_normal_equations(src: PointCloud, vm: VoxelMap, pose: jax.Array):
+    """One GN linearization: masked J^T J (6,6), J^T e (6,), n_valid."""
+    cand, cand_ok = gather_candidates(src, vm, pose)
+    return normal_equations_from_candidates(src, cand, cand_ok, pose)
 
-    ``vm`` must be built with grid >= sqrt(MAX_SEARCH_SQ) so the radius-1
-    neighborhood covers the search distance (voxel.knn docstring).
+
+# How far the pose may drift from the pose the candidates were gathered at
+# before the gather is refreshed. The corner-selected 2x2x2 gather guarantees
+# candidate coverage of radius grid/2 = 1.0 m around each ORIGINAL query
+# point; after the query moves by m, guaranteed coverage is 1.0 - m, so 0.2 m
+# keeps >= 0.8 m of the reference's 1.0 m 5-NN search radius — only 5th
+# neighbors in the 0.8-1.0 m rim (already marginal planes) can be missed.
+# Per-point motion is bounded by |dt| + r_max * dtheta, measured against the
+# masked max source range. Why cache at all: the gather is the dominant
+# device cost of registration (one ~33 MB 8-row HBM sweep per iteration at
+# 8192 queries), while a velocity-seeded GN moves the pose millimeters per
+# iteration — the reference re-runs its kd-tree 5-NN every iteration
+# (LoamRegister.cpp:122-164) because pointer-chasing lookups are cheap on
+# CPU; on TPU the memory sweep is the cost, so the TPU-native loop refreshes
+# the neighborhood only when the pose has actually moved.
+REGATHER_DIST = 0.2
+
+
+def gn_loop(src: PointCloud, vm: VoxelMap, init_pose: jax.Array,
+            max_iters: int = MAX_ITERS, reduce_fn=None) -> LoamResult:
+    """The full GN loop (trace-time body, shared by the single-chip and
+    sharded paths). ``reduce_fn``, when given, reduces (JtJ, JtE, n_valid)
+    across shards (e.g. one fused ICI psum) — the gather cache keeps the
+    refresh decision replicated because pose/anchor are replicated.
     """
+    pose0 = init_pose.astype(jnp.float32)
+    cand0, ok0 = gather_candidates(src, vm, pose0)
+    r_max = jnp.max(jnp.where(src.mask,
+                              jnp.linalg.norm(src.xyz, axis=-1), 0.0))
 
     def cond(carry):
-        pose, it, converged, failed, _ = carry
+        pose, anchor, cand, ok, it, converged, failed, _ = carry
         return (it < max_iters) & (~converged) & (~failed)
 
     def body(carry):
-        pose, it, converged, failed, _ = carry
-        JtJ, JtE, n_valid = build_normal_equations(src, vm, pose)
+        pose, anchor, cand, ok, it, converged, failed, _ = carry
+        # refresh the cached gather when accumulated motion erodes coverage
+        dt = jnp.linalg.norm(pose[:3, 3] - anchor[:3, 3])
+        cos_a = (jnp.trace(anchor[:3, :3].T @ pose[:3, :3]) - 1.0) * 0.5
+        dth = jnp.arccos(jnp.clip(cos_a, -1.0, 1.0))
+        moved = dt + r_max * dth
+
+        def refresh(_):
+            c, o = gather_candidates(src, vm, pose)
+            return c, o, pose
+
+        def keep(_):
+            return cand, ok, anchor
+
+        cand, ok, anchor = jax.lax.cond(
+            moved > REGATHER_DIST, refresh, keep, None)
+        JtJ, JtE, n_valid = normal_equations_from_candidates(
+            src, cand, ok, pose)
+        if reduce_fn is not None:
+            JtJ, JtE, n_valid = reduce_fn(JtJ, JtE, n_valid)
         enough = n_valid >= MIN_VALID_ROWS
         # damp the padding-only case so the solve stays finite under masks
         JtJ_safe = JtJ + jnp.eye(6, dtype=JtJ.dtype) * jnp.where(enough, 0.0, 1.0)
@@ -161,16 +210,31 @@ def scan2map(src: PointCloud, vm: VoxelMap, init_pose: jax.Array,
         new_pose = jnp.where(
             conv | ~enough, pose, geo.pose_compose(geo.se3_exp(dx), pose)
         )
-        return (new_pose, it + 1, conv & enough, ~enough, n_valid)
+        return (new_pose, anchor, cand, ok, it + 1, conv & enough, ~enough,
+                n_valid)
 
-    pose0 = init_pose.astype(jnp.float32)
     init = (
         pose0,
+        pose0,
+        cand0,
+        ok0,
         jnp.int32(0),
         jnp.array(False),
         jnp.array(False),
         jnp.int32(0),
     )
-    pose, iters, converged, _, n_valid = jax.lax.while_loop(cond, body, init)
+    pose, _, _, _, iters, converged, _, n_valid = jax.lax.while_loop(
+        cond, body, init)
     pose = geo.reorthonormalize(pose)
     return LoamResult(pose, converged, iters, n_valid)
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def scan2map(src: PointCloud, vm: VoxelMap, init_pose: jax.Array,
+             max_iters: int = MAX_ITERS) -> LoamResult:
+    """Full GN loop under ``lax.while_loop`` (compiled once per shape).
+
+    ``vm`` must be built with grid >= sqrt(MAX_SEARCH_SQ) so the radius-1
+    neighborhood covers the search distance (voxel.knn docstring).
+    """
+    return gn_loop(src, vm, init_pose, max_iters)

@@ -11,7 +11,8 @@ bottleneck (measured on the axon tunnel: ~30 ms per sync round-trip,
 - the scan-to-scan pose chain (and, in lio mode, the odom→map transform)
   lives ON DEVICE and feeds the next dispatch directly;
 - scans are voxel-downsampled ON HOST in the native C++ runtime by a
-  producer thread (the LidarDataProxy role: bounded SafeDeque, blocking
+  producer thread (the LidarDataProxy role: chunked batch calls into a
+  result dict under a condition variable, with bounded-lookahead blocking
   backpressure — dataproxy/src/LidarDataProxy.cpp:45-49), so each scan
   uploads ~96 KB instead of ~384 KB raw;
 - keyframe clouds are uploaded once into a device-resident store; submap
@@ -50,11 +51,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import native
-from ..models.mapmanager import KeyFrame, KFEvent, MIN_KF_GAP
+from ..models.mapmanager import KeyFrame, KFEvent
 from ..models.registration import register_kind
 from ..ops import geometry as geo
 from ..ops.pointcloud import PAD_COORD, PointCloud
-from ..utils.concurrency import SafeDeque
 from ..utils.config import Params
 from ..utils.logging import Logger
 from ..utils.tictoc import StageTimers, TicToc
@@ -236,14 +236,19 @@ class _ScanPrep:
                 self._cv.notify_all()
 
     def get(self, i: int):
-        """Fetch scan ``i``'s prepped row (blocks until a worker finishes it)."""
-        deadline = 60.0
+        """Fetch scan ``i``'s prepped row (blocks until a worker finishes it).
+
+        ``timeout`` is per-wait, not cumulative: any notify (another chunk
+        landing) restarts the window, so it only fires after 60 s of total
+        producer silence — a liveness check, not a hard per-index deadline.
+        """
+        timeout = 60.0
         with self._cv:
             while i not in self._results:
                 if self._error is not None:
                     raise RuntimeError("scan prep worker died") \
                         from self._error
-                if not self._cv.wait(timeout=deadline):
+                if not self._cv.wait(timeout=timeout):
                     raise RuntimeError("scan prep timed out")
             out = self._results.pop(i)
             if i >= self._consumed:
@@ -347,7 +352,6 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
         if si else jnp.asarray(start_pose.astype(np.float32))
     pose_prev2 = pose_prev  # zero-velocity start
     odom2map = jnp.asarray(odom2map_np.astype(np.float32))
-    last_kf_pos = est_poses[0][:3, 3].copy() if si else start_pose[:3, 3].copy()
     kf_rows = {}  # scan idx -> prepped row kept for keyframe upload
 
     def dispatch(si: int, pose_prev, pose_prev2, odom2map):
@@ -396,7 +400,7 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
 
     def retire(batch, packed) -> None:
         """Fetch one batch's results and do the lagged host bookkeeping."""
-        nonlocal n_conv, last_kf_pos, pose_prev, pose_prev2, odom2map
+        nonlocal n_conv, pose_prev, pose_prev2, odom2map
         tt.tic()
         stacked = np.asarray(packed)  # ONE fetch per batch
         timers.add("fetch", tt.toc())
@@ -409,7 +413,7 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
                 lg.warn("pcr not converge!!")
             est_poses[i] = pose
             mm.set_cur_pose(pose)  # fires the >1 m map-update notify itself
-            if np.linalg.norm(pose[:3, 3] - last_kf_pos) > MIN_KF_GAP:
+            if mm.select_gate(pose):  # MapManager owns the admission policy
                 row, cnt = kf_rows[i]
                 if mm.put_keyframe(
                         KeyFrame(float(scan_stamps[i]), pose,
@@ -417,7 +421,6 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
                     with mm.kf_obj.lock:
                         kf_idx = len(mm.kf_obj.keyframes) - 1
                     mm.store_keyframe_cloud(kf_idx, row)
-                last_kf_pos = pose[:3, 3].copy()
             kf_rows.pop(i, None)
         timers.add("bookkeep", tt.toc())
 
