@@ -8,6 +8,15 @@ mapping-time numbers include GTSAM + the map/LC threads
 (/root/reference/app/main.cpp:176-206 times the whole pipeline). Extras
 report the lo-only (backend off) and lio-mode (EKF fusion) rates too.
 
+Per-config extras carry the device-utilization breakdown the TPU build is
+accountable for (the tictoc discipline of common/time/tictoc.hpp applied at
+the device boundary): a sync-mode probe measures per-batch device-pipeline
+time (device_exec); the throughput run splits the old opaque "fetch" into
+fetch_wait (device time not hidden by host work) and fetch_xfer (link
+transfer); device_busy_frac = probe device time x batches / wall; and an
+analytic FLOP/byte roofline (ops/roofline.py) turns the probe time into MFU
+/ HBM-utilization / speed-of-light fractions for the registration kernel.
+
 Baseline (BASELINE.md): the reference maps the Binhai bag at ~1.96x realtime
 on a 4-core CPU; at the 10 Hz scan rate that is ~19.6 scans/s. vs_baseline is
 our full-mapping scans/s divided by that.
@@ -38,31 +47,68 @@ def _subseq(streams, sim, lo, hi):
         streams.imu_stamps[isel], streams.imu_quats[isel])
 
 
-def run_config(name, cfg, streams, sim, app, run_streamed, warmup):
+def run_config(name, cfg, streams, sim, app, run_streamed, warmup, probe_n):
+    from simpleslam_tpu.ops import roofline
     from simpleslam_tpu.utils.config import Params
 
     n = len(streams.scan_stamps)
     sync_every = int(os.environ.get("SIMPLESLAM_SYNC_EVERY", "16"))
     Params.load(cfg)
     system = app.SlamSystem()
+    t0 = time.perf_counter()
+    # warmup: compiles every program of this config
     run_streamed(system, _subseq(streams, sim, 0, warmup),
                  sync_every=sync_every)
-    rest = _subseq(streams, sim, warmup, None)
+    warmup_s = time.perf_counter() - t0
+    # sync-mode probe on a warm system: accurate per-batch device time
+    probe = run_streamed(system, _subseq(streams, sim, warmup,
+                                         warmup + probe_n),
+                         sync_every=sync_every, device_probe=True)
+    # throughput run (double-buffered)
+    rest = _subseq(streams, sim, warmup + probe_n, None)
     t0 = time.perf_counter()
     result = run_streamed(system, rest, sync_every=sync_every)
     dt = time.perf_counter() - t0
-    fps = (n - warmup) / dt
-    ate = sim.ate_rmse(streams.gt_poses[warmup:], result.poses, align=False)
-    return {
+    n_timed = n - warmup - probe_n
+    fps = n_timed / dt
+    ate = sim.ate_rmse(streams.gt_poses[warmup + probe_n:], result.poses,
+                       align=False)
+
+    dev_s = probe.timers.mean("device_exec")
+    busy = dev_s * result.extras["n_batches"] / dt
+    tpu_cfg = Params.get_instance()["tpu"]
+    out = {
         "scans_per_sec": round(fps, 3),
         "ate_rmse_m": round(float(ate), 4),
-        "n_scans": n - warmup,
+        "n_scans": n_timed,
         "keyframes": result.keyframe_count,
         "converged_frac": round(result.converged_frac, 3),
+        "gn_iters_mean": result.extras["gn_iters_mean"],
+        "gn_gathers_mean": result.extras["gn_gathers_mean"],
+        "warmup_s": round(warmup_s, 1),
+        "device": {
+            "exec_ms_per_batch": round(dev_s * 1e3, 2),
+            "exec_ms_per_scan": round(dev_s * 1e3 / sync_every, 3),
+            "busy_frac": round(busy, 3),
+        },
         "stage_means_ms": {
             k: round(result.timers.mean(k) * 1e3, 2) for k in result.timers.total
         },
     }
+    if cfg.get("frontend", {}).get("pcr", "loam") == "loam":
+        cost = roofline.loam_batch_cost(
+            n_queries=int(tpu_cfg.get("kf_capacity", 8192)), slab_rows=8,
+            lane_width=128,
+            slab_pts=int(tpu_cfg.get("loam_slab_size", 24)),
+            n_scans=sync_every,
+            mean_iters=result.extras["gn_iters_mean"],
+            mean_gathers=result.extras["gn_gathers_mean"])
+        out["device"]["roofline"] = {
+            "gflops_per_batch": round(cost["flops"] / 1e9, 2),
+            "hbm_gb_per_batch": round(cost["hbm_bytes"] / 1e9, 3),
+            **roofline.utilization(cost, dev_s),
+        }
+    return out
 
 
 def main() -> int:
@@ -70,33 +116,40 @@ def main() -> int:
     from simpleslam_tpu.pipeline import app, simulate as sim
     from simpleslam_tpu.pipeline.streamed import run_streamed
     from simpleslam_tpu.utils.logging import Logger
+    import jax
     import logging
 
     Logger.get_instance().set_level(logging.ERROR)
 
     n_scans = int(sys.argv[1]) if len(sys.argv) > 1 else 150
     warmup = 15
+    probe_n = 32 if n_scans >= 100 else 0
 
     world = sim.make_world(seed=0)
     streams = sim.simulate_sequence(world, n_scans=n_scans, seed=0,
                                     n_az=1800, n_el=16)
+    setup_s = time.perf_counter() - t_setup
 
     results = {}
     results["full"] = run_config(
         "full",
         {"mode": "lo", "backend": {"enable": True, "lc": {"enable": True}},
          "frontend": {"pcr": "loam"}},
-        streams, sim, app, run_streamed, warmup)
+        streams, sim, app, run_streamed, warmup, probe_n)
     results["lo"] = run_config(
         "lo",
         {"mode": "lo", "backend": {"enable": False},
          "frontend": {"pcr": "loam"}},
-        streams, sim, app, run_streamed, warmup)
+        streams, sim, app, run_streamed, warmup, probe_n)
     results["lio"] = run_config(
         "lio",
         {"mode": "lio", "backend": {"enable": True, "lc": {"enable": False}},
          "frontend": {"pcr": "loam"}},
-        streams, sim, app, run_streamed, warmup)
+        streams, sim, app, run_streamed, warmup, probe_n)
+
+    cache_dir = jax.config.jax_compilation_cache_dir
+    cache_entries = (len(os.listdir(cache_dir))
+                     if cache_dir and os.path.isdir(cache_dir) else 0)
 
     fps = results["full"]["scans_per_sec"]
     print(json.dumps({
@@ -106,7 +159,9 @@ def main() -> int:
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "extras": {
             **{k: v for k, v in results.items()},
-            "setup_s": round(time.perf_counter() - t_setup, 1),
+            "setup_s": round(setup_s, 1),
+            "total_s": round(time.perf_counter() - t_setup, 1),
+            "jax_cache": {"dir": cache_dir, "entries": cache_entries},
         },
     }))
     return 0

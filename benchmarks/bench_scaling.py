@@ -9,39 +9,46 @@ allows (CPU only; the TPU tunnel exposes a single chip):
   cores of compute — without pinning, N processes share the same cores and
   any "speedup" is fiction;
 - cross-host reductions ride jax.distributed gRPC. A measured probe
-  (parallel/_collective_probe.py) puts one cross-process psum at ~3 ms —
-  vs ~25 us over real ICI and ~14 us in-process — i.e. the harness's
-  collective latency is ~100x a pod slice's. The LM+PCG solve issues one
-  psum per CG iteration (~1 + iters*(3 + cg) total), so its *measured*
-  wall-clock efficiency here is collective-latency-bound, not
-  compute-bound. The bench therefore reports BOTH:
+  (parallel/_collective_probe.py) puts one cross-process collective at
+  ~3-4 ms — vs ~25 us over real ICI — i.e. the harness's collective latency
+  is ~100x a pod slice's. The solver's collective budget is now
+  ``1 + lm_iters`` all_gathers per solve (ops/posegraph.py gathers the
+  block-sparse normal equations once per LM iteration and runs CG
+  replicated, collective-free), so the measured wall-clock number is
+  meaningful even here. The bench reports BOTH:
     measured_efficiency  = t1 / (N * tN)              (raw wall clock)
-    compute_efficiency   = t1 / (N * (tN - n_coll*per_psum))
-  where the second subtracts the probed collective latency — the quantity
-  that carries to ICI, where n_coll * 25 us is negligible. The
-  registration benchmark needs no such correction: its collective budget
-  is <= 8 psums per solve, so its measured number is meaningful as-is.
+    compute_efficiency   = t1 / (N * (tN - n_coll*per_coll))
+  the second subtracting probed collective latency (the quantity that
+  carries to ICI). The registration benchmark's budget is <= 8 fused psums
+  per solve; its measured number needs no correction either.
+- a single-process virtual-device curve (1/2/4/8 CPU devices, in-process
+  collectives) isolates the SPMD partitioning overhead from process/gRPC
+  effects: with no extra cores behind the virtual devices, solve time vs
+  device count directly shows what sharding itself costs.
 
-Usage: python benchmarks/bench_scaling.py [K] [reps]
-Prints one JSON line.
+Usage: python benchmarks/bench_scaling.py [K] [reps] [--out FILE]
+Prints one JSON line (and writes it to --out for the artifact record).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
-from simpleslam_tpu.parallel import multihost as mh  # noqa: E402
 
 PG_WORKER = "simpleslam_tpu.parallel.workers:posegraph_worker"
 REG_WORKER = "simpleslam_tpu.parallel.workers:registration_worker"
 PROBE = "simpleslam_tpu.parallel._collective_probe:psum_probe"
 
+LM_ITERS, CG_ITERS = 6, 32
+
 
 def run(worker: str, n_hosts: int, payload: dict, pin: bool = True) -> dict:
+    from simpleslam_tpu.parallel import multihost as mh
+
     res = mh.run_hosts(n_hosts, worker, payload, devices_per_host=1,
                        pin_cores=pin, timeout=1200.0)
     times = res[0]["times_s"]
@@ -54,37 +61,105 @@ def run(worker: str, n_hosts: int, payload: dict, pin: bool = True) -> dict:
     return out
 
 
-def main() -> int:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-    n_cores = os.cpu_count() or 1
-    n_max = min(2, n_cores)
+def _pg_payload(k: int, reps: int) -> dict:
+    return {"k": k, "k_cap": k, "e_cap": 4 * k, "n_lc": k // 2,
+            "max_iters": LM_ITERS, "cg_iters": CG_ITERS, "reps": reps,
+            "drift": 0.05}
 
-    lm_iters, cg_iters = 6, 32
-    pg_payload = {"k": k, "k_cap": k, "e_cap": 4 * k, "n_lc": k // 2,
-                  "max_iters": lm_iters, "cg_iters": cg_iters, "reps": reps,
-                  "drift": 0.05}
-    out = {"metric": "distributed_scaling", "k": k, "edges": k + k // 2,
-           "n_cores": n_cores}
+
+def virtual_curve_worker(payload: dict) -> None:
+    """Single-process worker: solve on 1/2/4/8 virtual CPU devices."""
+    import time
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from simpleslam_tpu.parallel.dist_posegraph import (_ring_graph,
+                                                        sharded_solve)
+
+    k, reps = payload["k"], payload["reps"]
+    g = _ring_graph(k=k, k_cap=k, e_cap=payload["e_cap"],
+                    n_lc=payload["n_lc"], drift=payload["drift"])
+    devs = jax.devices()
+    out = {}
+    for n in (1, 2, 4, 8):
+        if n > len(devs):
+            break
+        mesh = Mesh(np.asarray(devs[:n]), ("kf",))
+        fn = sharded_solve(mesh, axis="kf", max_iters=payload["max_iters"],
+                           cg_iters=payload["cg_iters"])
+        res = fn(g)
+        res.poses.block_until_ready()
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(g).poses.block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        out[str(n)] = round(min(ts), 4)
+    print(json.dumps(out))
+
+
+def virtual_curve(k: int, reps: int) -> dict:
+    payload = _pg_payload(k, reps)
+    env = os.environ.copy()
+    flags = env.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--virtual-worker",
+         json.dumps(payload)],
+        env=env, capture_output=True, text=True, timeout=1200,
+        cwd=os.path.join(os.path.dirname(__file__), ".."))
+    line = r.stdout.strip().splitlines()[-1]
+    times = json.loads(line)
+    t1 = times.get("1")
+    return {"times_s": times,
+            "overhead_frac": {n: round(t / t1 - 1.0, 3)
+                              for n, t in times.items() if n != "1"}}
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    k = int(args[0]) if args else 2048
+    reps = int(args[1]) if len(args) > 1 else 5
+    out_file = None
+    if "--out" in sys.argv:
+        out_file = sys.argv[sys.argv.index("--out") + 1]
+    n_cores = os.cpu_count() or 1
+    n_max = min(n_cores, 8)
+
+    from simpleslam_tpu.parallel import multihost as mh
+
+    pg_payload = _pg_payload(k, reps)
+    out = {"metric": "distributed_scaling", "k": k,
+           "edges": k + pg_payload["n_lc"], "n_cores": n_cores}
 
     # --- collective latency probe (pinned, cross-process) -------------------
-    probe = mh.run_hosts(n_max, PROBE, {"rows": k // n_max, "iters": 50},
+    probe = mh.run_hosts(min(2, n_max), PROBE,
+                         {"rows": k // max(n_max, 1), "iters": 50},
                          devices_per_host=1, pin_cores=True, timeout=300.0)
-    per_psum = probe[0]["per_psum_s"]
-    out["per_psum_ms"] = round(per_psum * 1e3, 3)
+    per_coll = probe[0]["per_psum_s"]
+    out["per_collective_ms"] = round(per_coll * 1e3, 3)
 
     # --- pose-graph solve ----------------------------------------------------
     pg = {}
     pg["1"] = run(PG_WORKER, 1, pg_payload)
     pg[str(n_max)] = run(PG_WORKER, n_max, pg_payload)
-    n_coll = 1 + lm_iters * (3 + cg_iters)  # cost0 + per-LM (cost+grad+diag) + CG
+    n_coll = 1 + LM_ITERS  # one all_gather per linearization (ops/posegraph.py)
     t1, tn = pg["1"]["best_s"], pg[str(n_max)]["best_s"]
-    coll_s = n_coll * per_psum
+    coll_s = n_coll * per_coll
     pg["n_collectives"] = n_coll
     pg["collective_s"] = round(coll_s, 4)
     pg["measured_efficiency"] = round(t1 / (n_max * tn), 3)
     pg["compute_efficiency"] = round(t1 / (n_max * max(tn - coll_s, 1e-9)), 3)
     out["posegraph"] = pg
+
+    # --- single-process virtual-device curve (sharding overhead only) -------
+    out["posegraph_virtual_devices"] = virtual_curve(k, reps)
 
     # --- dp registration ------------------------------------------------------
     reg_payload = {"n_src": 131072, "n_map": 16384, "reps": reps}
@@ -95,9 +170,17 @@ def main() -> int:
     reg["measured_efficiency"] = round(r1 / (n_max * rn), 3)
     out["registration"] = reg
 
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    if out_file:
+        with open(out_file, "w") as f:
+            f.write(line + "\n")
     return 0
 
 
 if __name__ == "__main__":
+    if "--virtual-worker" in sys.argv:
+        virtual_curve_worker(
+            json.loads(sys.argv[sys.argv.index("--virtual-worker") + 1]))
+        sys.exit(0)
     sys.exit(main())

@@ -18,8 +18,9 @@ compilations (via the ``jax_log_compiles`` logger), host RSS, and live
 device arrays. Steady-state segments must show zero compiles, bounded RSS
 growth, and a plateaued device-array count.
 
-Usage: python memcheck.py [n_segments] [scans_per_segment]
-Prints one JSON line; exit code 0 iff all checks pass.
+Usage: python memcheck.py [n_segments] [scans_per_segment] [--out FILE]
+Prints one JSON line (and writes it to --out for the artifact record);
+exit code 0 iff all checks pass.
 """
 
 from __future__ import annotations
@@ -121,10 +122,15 @@ def run_memcheck(n_segments: int = 4, scans_per_segment: int = 48,
 
 
 def main() -> int:
-    n_segments = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    per = int(sys.argv[2]) if len(sys.argv) > 2 else 48
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_segments = int(args[0]) if args else 4
+    per = int(args[1]) if len(args) > 1 else 48
     out = run_memcheck(n_segments, per)
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    if "--out" in sys.argv:
+        with open(sys.argv[sys.argv.index("--out") + 1], "w") as f:
+            f.write(line + "\n")
     return 0 if out["ok"] else 1
 
 

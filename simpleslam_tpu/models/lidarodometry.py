@@ -130,7 +130,7 @@ class LidarOdometry:
                 pc, target, init_pose, self.grid_size, self.ds_capacity)
             if not converged:
                 self.lg.warn("pcr not converge!!")
-        else:
+        elif self.register.planar_clamp:
             init_pose = np.asarray(
                 _clamp(jnp.asarray(init_pose.astype(np.float32))), np.float64)
         mm.set_cur_pose(init_pose)

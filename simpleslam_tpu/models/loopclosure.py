@@ -80,6 +80,15 @@ class LoopClosureManager:
         self.register.init_for_lc()
         self.lc_queue: SafeDeque[LCResult] = SafeDeque(10)
         self._ctx_capacity = int(cfg["tpu"]["ds_scan_capacity"])
+        # amortized verification: the history-submap target for a given
+        # old_key is identical across candidates until any pose in its
+        # window moves (a backend correction) — cache one build per
+        # (old_key, window-pose fingerprint). At real revisit density many
+        # consecutive queries hit the same map region, so this removes the
+        # dominant per-candidate cost (the Gaussian-voxel map build).
+        self._target_cache: dict = {}
+        self._target_cache_max = 8
+        self.dropped_closures = 0  # accepted-but-dropped (queue overflow)
 
     @property
     def n_contexts(self) -> int:
@@ -121,15 +130,27 @@ class LoopClosureManager:
                 old_pose = kfs[old_key].pose.copy()
                 cur_pose = kfs[i].pose.copy()
                 scan_xyz = kfs[i].xyz
-                submap = self._history_submap(old_key)
+                sel = [k for k in range(old_key - self.history_range,
+                                        old_key + self.history_range + 1)
+                       if 0 <= k < len(kfs)]
+                fprint = np.stack([kfs[k].pose for k in sel]).tobytes()
+                cached = self._target_cache.get(old_key)
+                submap = (None if cached is not None and cached[0] == fprint
+                          else self._history_submap(old_key))
 
-            cap = int(Params.get_instance()["tpu"]["submap_capacity"])
-            if len(submap) > cap:
-                self.lg.warn("LC submap truncated: %d > capacity %d",
-                             len(submap), cap)
-            sub_pc = pcops.from_numpy(submap, cap)
-            target = self.register.build_target(
-                sub_pc, jnp.asarray(old_pose[:3, 3].astype(np.float32)))
+            if submap is None:
+                target = cached[1]
+            else:
+                cap = int(Params.get_instance()["tpu"]["submap_capacity"])
+                if len(submap) > cap:
+                    self.lg.warn("LC submap truncated: %d > capacity %d",
+                                 len(submap), cap)
+                sub_pc = pcops.from_numpy(submap, cap)
+                target = self.register.build_target(
+                    sub_pc, jnp.asarray(old_pose[:3, 3].astype(np.float32)))
+                if len(self._target_cache) >= self._target_cache_max:
+                    self._target_cache.pop(next(iter(self._target_cache)))
+                self._target_cache[old_key] = (fprint, target)
             # yaw-hint seeding: rotate the init about z so the relative yaw
             # matches the descriptor alignment for large-angle revisits
             init_pose = cur_pose
@@ -151,6 +172,15 @@ class LoopClosureManager:
                          old_key, i, fs, conv)
             if conv and fs < self.fitness_thresh:
                 between = np.linalg.inv(old_pose) @ refined
+                if len(self.lc_queue) >= 10:
+                    # drop-oldest overflow loses an ACCEPTED factor — count
+                    # and log it instead of silently shrinking the graph
+                    # (the backend drains this queue on the next LC event,
+                    # so sustained overflow means the backend is lagging)
+                    self.dropped_closures += 1
+                    self.lg.error(
+                        "LC queue overflow: dropping oldest accepted "
+                        "closure (%d dropped so far)", self.dropped_closures)
                 self.lc_queue.push_back(LCResult(old_key, i, between), block=False)
                 accepted += 1
 

@@ -71,17 +71,26 @@ class KeyFramesObj:
     lock: threading.RLock = field(default_factory=threading.RLock)
     event_cv: threading.Condition = None  # type: ignore[assignment]
     _event: int = KFEvent.NONE
+    event_stamp: float = 0.0  # monotonic time the pending event burst began
 
     def __post_init__(self):
         self.event_cv = threading.Condition(self.lock)
 
     def new_kf_is_coming(self) -> None:
+        import time
+
         with self.lock:
+            if self._event == KFEvent.NONE:
+                self.event_stamp = time.monotonic()
             self._event |= KFEvent.NEW_KF
             self.event_cv.notify_all()
 
     def lc_is_happening(self) -> None:
+        import time
+
         with self.lock:
+            if self._event == KFEvent.NONE:
+                self.event_stamp = time.monotonic()
             self._event |= KFEvent.LC
             self.event_cv.notify_all()
 
@@ -268,6 +277,8 @@ class MapManager:
             return
         self.kf_capacity = int(self.tpu_cfg.get("kf_capacity", 8192))
         self.kf_window = int(self.tpu_cfg.get("submap_kf_window", 16))
+        if not self.is_mapping:
+            return  # localization mode: static global map, no keyframe store
         max_kf = int(self.tpu_cfg["max_keyframes"])
         self._kf_store = jnp.full((max_kf, self.kf_capacity, 3),
                                   pcops.PAD_COORD, jnp.float32)

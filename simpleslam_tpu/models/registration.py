@@ -37,36 +37,44 @@ from ..utils.config import Params
 # ---------------------------------------------------------------------------
 
 def register_kind(ds: PointCloud, target: Any, init_pose: jax.Array,
-                  kind: str):
-    """Trace-time dispatch to the configured backend: (pose, conv, fitness).
+                  kind: str, degen=0.0):
+    """Trace-time dispatch to the configured backend:
+    (pose, conv, fitness, iters, gathers).
 
     ``kind`` must be static under jit (it selects the program, exactly like
     the reference's config-driven PCR choice, LidarOdometry.cpp:44-54).
+    ``gathers`` counts HBM neighborhood sweeps (== iters for backends without
+    a gather cache) — the utilization accounting consumes it. ``degen`` > 0
+    enables LOAM's degeneracy guard (frontend.degeneracy_guard config).
     """
     fit = jnp.float32(0.0)
     if kind == "loam":
-        res = loam_ops.scan2map(ds, target, init_pose)
-        pose, conv = res.pose, res.converged
+        res = loam_ops.scan2map(ds, target, init_pose, degen_per_row=degen)
+        pose, conv, gathers = res.pose, res.converged, res.n_gathers
     elif kind == "ndt":
         res = ndt_ops.align(ds, target, init_pose)
-        pose, conv = res.pose, res.converged
+        pose, conv, gathers = res.pose, res.converged, res.iters
     else:
         res = vgicp_ops.align(ds, target, init_pose)
         pose, conv, fit = res.pose, res.converged, res.fitness
-    return pose, conv, fit
+        gathers = res.iters
+    return pose, conv, fit, res.iters, gathers
 
 
-@partial(jax.jit, static_argnames=("ds_capacity", "kind"))
+@partial(jax.jit, static_argnames=("ds_capacity", "kind", "clamp", "degen"))
 def _fused_odometry_step(raw: PointCloud, target: Any, init_pose: jax.Array,
-                         grid: jax.Array, ds_capacity: int, kind: str):
+                         grid: jax.Array, ds_capacity: int, kind: str,
+                         clamp: bool = True, degen: float = 0.0):
     """downsample -> compact -> scan2map -> planar clamp, fused.
 
     Returns (clamped pose, converged, fitness, ds_scan). The planar clamp is
-    the per-frame SixDof2Mobile of LidarOdometry.cpp:211.
+    the per-frame SixDof2Mobile of LidarOdometry.cpp:211, gated by the
+    ``frontend.planar_clamp`` config (off for sloped/rough terrain).
     """
     ds = pcops.compact(vox.voxel_downsample(raw, grid), ds_capacity)
-    pose, conv, fit = register_kind(ds, target, init_pose, kind)
-    pose = geo.six_dof_to_mobile(pose)
+    pose, conv, fit, _, _ = register_kind(ds, target, init_pose, kind, degen)
+    if clamp:
+        pose = geo.six_dof_to_mobile(pose)
     return pose, conv, fit, ds
 
 
@@ -118,6 +126,10 @@ class PointCloudRegister:
     def __init__(self) -> None:
         cfg = Params.get_instance()
         self.tpu_cfg = cfg["tpu"]
+        self.planar_clamp = bool(cfg["frontend"].get("planar_clamp", True))
+        self.degen_per_row = (
+            loam_ops.DEGEN_EIGEN_PER_ROW
+            if cfg["frontend"].get("degeneracy_guard", False) else 0.0)
         self._fitness: float = float("inf")
         self.is_converge: bool = False
 
@@ -137,7 +149,8 @@ class PointCloudRegister:
         """Fused per-scan path: (clamped pose f64, converged, ds_scan)."""
         p, conv, fit, ds = _fused_odometry_step(
             raw, target, jnp.asarray(pose, jnp.float32),
-            jnp.float32(grid), ds_capacity, self.KIND)
+            jnp.float32(grid), ds_capacity, self.KIND, self.planar_clamp,
+            float(self.degen_per_row))
         self.is_converge = bool(conv)
         if self.KIND == "vgicp":
             self._fitness = float(fit)

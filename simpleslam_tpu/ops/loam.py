@@ -47,6 +47,7 @@ class LoamResult(NamedTuple):
     converged: jax.Array  # () bool
     iters: jax.Array      # () int32 iterations executed
     n_valid: jax.Array    # () int32 valid rows in the last normal equations
+    n_gathers: jax.Array  # () int32 HBM neighborhood gathers (incl. initial)
 
 
 # Eigenvalue gates (no reference counterpart, quality upgrades over the raw
@@ -161,13 +162,38 @@ def build_normal_equations(src: PointCloud, vm: VoxelMap, pose: jax.Array):
 # the neighborhood only when the pose has actually moved.
 REGATHER_DIST = 0.2
 
+# Degeneracy guard (the reference's ``_removeDegeneratePart`` intent —
+# PCR/src/LoamRegister.cpp:209-218, absolute eigenvalue threshold 100,
+# shipped disabled there): solve the normal equations in the eigenbasis of
+# J^T J and zero the update along directions whose eigenvalue is under
+# ``degen_per_row * n_valid``. In a degenerate scene (long corridor: every
+# plane normal ⊥ the corridor axis) the unobservable direction then stays at
+# its prediction instead of wandering on structured noise (measured: up to
+# 0.5 m of invented motion per registration without the guard,
+# tests/test_adversarial.py).
+#
+# Why this is a config knob (frontend.degeneracy_guard) DEFAULTING OFF, like
+# the reference's own disabled scaffold: eigenvalue magnitude measures row
+# support, not signal-to-noise. Measured per-row spectra: a flat world's
+# weakest REAL direction (z from eigen-gated sparse ground rings) sits at
+# ~0.001-0.06 per row and carries usable signal, while a corridor's truly
+# unobservable axis shows ~0.012 per row of pure structured noise — the
+# ranges OVERLAP, so no threshold family can serve both. Operators enable
+# the guard (and this calibrated floor) in degenerate environments; in
+# feature-rich worlds the unguarded solve extracts the weak-but-real
+# directions.
+DEGEN_EIGEN_PER_ROW = 0.02
+
 
 def gn_loop(src: PointCloud, vm: VoxelMap, init_pose: jax.Array,
-            max_iters: int = MAX_ITERS, reduce_fn=None) -> LoamResult:
+            max_iters: int = MAX_ITERS, reduce_fn=None,
+            degen_per_row=0.0) -> LoamResult:
     """The full GN loop (trace-time body, shared by the single-chip and
     sharded paths). ``reduce_fn``, when given, reduces (JtJ, JtE, n_valid)
     across shards (e.g. one fused ICI psum) — the gather cache keeps the
     refresh decision replicated because pose/anchor are replicated.
+    ``degen_per_row`` > 0 enables the degeneracy guard (see
+    DEGEN_EIGEN_PER_ROW above).
     """
     pose0 = init_pose.astype(jnp.float32)
     cand0, ok0 = gather_candidates(src, vm, pose0)
@@ -175,11 +201,11 @@ def gn_loop(src: PointCloud, vm: VoxelMap, init_pose: jax.Array,
                               jnp.linalg.norm(src.xyz, axis=-1), 0.0))
 
     def cond(carry):
-        pose, anchor, cand, ok, it, converged, failed, _ = carry
+        pose, anchor, cand, ok, it, converged, failed, _, _ = carry
         return (it < max_iters) & (~converged) & (~failed)
 
     def body(carry):
-        pose, anchor, cand, ok, it, converged, failed, _ = carry
+        pose, anchor, cand, ok, it, converged, failed, _, gathers = carry
         # refresh the cached gather when accumulated motion erodes coverage
         dt = jnp.linalg.norm(pose[:3, 3] - anchor[:3, 3])
         cos_a = (jnp.trace(anchor[:3, :3].T @ pose[:3, :3]) - 1.0) * 0.5
@@ -188,12 +214,12 @@ def gn_loop(src: PointCloud, vm: VoxelMap, init_pose: jax.Array,
 
         def refresh(_):
             c, o = gather_candidates(src, vm, pose)
-            return c, o, pose
+            return c, o, pose, gathers + 1
 
         def keep(_):
-            return cand, ok, anchor
+            return cand, ok, anchor, gathers
 
-        cand, ok, anchor = jax.lax.cond(
+        cand, ok, anchor, gathers = jax.lax.cond(
             moved > REGATHER_DIST, refresh, keep, None)
         JtJ, JtE, n_valid = normal_equations_from_candidates(
             src, cand, ok, pose)
@@ -202,7 +228,19 @@ def gn_loop(src: PointCloud, vm: VoxelMap, init_pose: jax.Array,
         enough = n_valid >= MIN_VALID_ROWS
         # damp the padding-only case so the solve stays finite under masks
         JtJ_safe = JtJ + jnp.eye(6, dtype=JtJ.dtype) * jnp.where(enough, 0.0, 1.0)
-        dx = jnp.linalg.solve(JtJ_safe, -JtE)
+        if degen_per_row > 0:
+            # eigenbasis solve with the degeneracy floor (see
+            # DEGEN_EIGEN_PER_ROW). Trace-time branch: a 6x6 eigh per GN
+            # iteration costs ~1 ms on TPU (iterative small-matrix path),
+            # so the default (guard off) path keeps the direct solve.
+            w_eig, V = jnp.linalg.eigh(JtJ_safe)
+            y = V.T @ (-JtE)
+            floor = jnp.asarray(degen_per_row, JtJ.dtype) * \
+                n_valid.astype(JtJ.dtype)
+            strong = w_eig > jnp.where(enough, floor, 0.0)
+            dx = V @ jnp.where(strong, y / jnp.maximum(w_eig, 1e-12), 0.0)
+        else:
+            dx = jnp.linalg.solve(JtJ_safe, -JtE)
         conv = (jnp.linalg.norm(dx[:3]) <= POS_CONVERGE) & (
             jnp.linalg.norm(dx[3:]) <= ROT_CONVERGE
         )
@@ -211,7 +249,7 @@ def gn_loop(src: PointCloud, vm: VoxelMap, init_pose: jax.Array,
             conv | ~enough, pose, geo.pose_compose(geo.se3_exp(dx), pose)
         )
         return (new_pose, anchor, cand, ok, it + 1, conv & enough, ~enough,
-                n_valid)
+                n_valid, gathers)
 
     init = (
         pose0,
@@ -222,19 +260,22 @@ def gn_loop(src: PointCloud, vm: VoxelMap, init_pose: jax.Array,
         jnp.array(False),
         jnp.array(False),
         jnp.int32(0),
+        jnp.int32(1),
     )
-    pose, _, _, _, iters, converged, _, n_valid = jax.lax.while_loop(
+    pose, _, _, _, iters, converged, _, n_valid, gathers = jax.lax.while_loop(
         cond, body, init)
     pose = geo.reorthonormalize(pose)
-    return LoamResult(pose, converged, iters, n_valid)
+    return LoamResult(pose, converged, iters, n_valid, gathers)
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
+@partial(jax.jit, static_argnames=("max_iters", "degen_per_row"))
 def scan2map(src: PointCloud, vm: VoxelMap, init_pose: jax.Array,
-             max_iters: int = MAX_ITERS) -> LoamResult:
+             max_iters: int = MAX_ITERS,
+             degen_per_row: float = 0.0) -> LoamResult:
     """Full GN loop under ``lax.while_loop`` (compiled once per shape).
 
     ``vm`` must be built with grid >= sqrt(MAX_SEARCH_SQ) so the radius-1
     neighborhood covers the search distance (voxel.knn docstring).
     """
-    return gn_loop(src, vm, init_pose, max_iters)
+    return gn_loop(src, vm, init_pose, max_iters,
+                   degen_per_row=degen_per_row)

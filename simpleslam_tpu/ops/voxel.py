@@ -113,7 +113,8 @@ def voxel_downsample(pc: PointCloud, grid, origin: Optional[jax.Array] = None,
         contrib.astype(jnp.int32), seg_for_sum, num_segments=n
     )
     full_counts = jax.ops.segment_sum(
-        jnp.ones_like(seg_id), jnp.where(seg_id < n, seg_id, n), num_segments=n
+        jnp.ones_like(seg_id), jnp.where(seg_id < n, seg_id, n),
+        num_segments=n, indices_are_sorted=True
     )
     centroids = sums / jnp.maximum(counts, 1)[:, None].astype(sums.dtype)
     # first point's intensity per voxel
@@ -322,11 +323,19 @@ def build_dense_voxel_map(pc: PointCloud, grid, center: jax.Array,
                           dims: Tuple[int, int, int],
                           slab_size: int,
                           lane_quantum: int = 128) -> DenseVoxelMap:
-    """Scatter a padded cloud into a dense grid window centered at ``center``.
+    """Sort a padded cloud into a dense grid window centered at ``center``.
 
     Points outside the window are dropped (callers size the window to cover
     the submap: LOAM validity needs neighbors within 1 m anyway, so clipped
     far points would never produce valid rows).
+
+    GATHER-based construction: points are sorted by voxel id, each voxel's
+    run start is found with a sorted ``segment_min``, and every slab row
+    gathers its points from the sorted array. The obvious alternative — one
+    scatter of every (row, lane) element — serializes on TPU (~130k-point
+    builds measured ~30 ms; XLA scatters execute per-index), while this
+    formulation is one argsort + two sorted segment reductions + one big
+    vectorized gather (~2 ms for the same build).
     """
     grid = jnp.asarray(grid, pc.xyz.dtype)
     gx, gy, gz = dims
@@ -335,29 +344,33 @@ def build_dense_voxel_map(pc: PointCloud, grid, center: jax.Array,
     c = jnp.floor((pc.xyz - corner) / grid).astype(jnp.int32)
     flat = _dense_flat(c, dims, pc.mask)
 
-    # per-voxel rank via one sort over flat ids (padding sorts to the tail)
     order = jnp.argsort(flat)
     flat_s = flat[order]
     xyz_s = pc.xyz[order]
     n = flat_s.shape[0]
-    is_new = jnp.concatenate(
-        [jnp.ones((1,), bool), flat_s[1:] != flat_s[:-1]])
-    start = jax.lax.cummax(jnp.where(is_new, jnp.arange(n, dtype=jnp.int32), 0))
-    rank = jnp.arange(n, dtype=jnp.int32) - start
+    start = jax.ops.segment_min(
+        jnp.arange(n, dtype=jnp.int32), flat_s, num_segments=g_total + 1,
+        indices_are_sorted=True)
+    counts = jax.ops.segment_sum(
+        jnp.ones((n,), jnp.int32), flat_s, num_segments=g_total + 1,
+        indices_are_sorted=True)
+    m = slab_size
+    lanes = jnp.arange(m, dtype=jnp.int32)
+    # empty voxels have start == int32 max (segment_min identity): clamp the
+    # start BEFORE adding lane offsets (the sum would overflow int32) and
+    # mask by count
+    src = jnp.minimum(jnp.minimum(start, n - 1)[:, None] + lanes[None, :],
+                      n - 1)
+    valid = lanes[None, :] < jnp.minimum(counts, m)[:, None]
+    pts = jnp.where(valid[..., None], xyz_s[src], PAD_COORD)  # (G+1, M, 3)
 
     w = _row_lanes(slab_size, lane_quantum)
-    keep = (flat_s < g_total) & (rank < slab_size)
-    # scatter into flat 128-lane rows: element (v, rank*3 + c)
-    slot = jnp.where(keep, flat_s * w + rank * 3, (g_total + 1) * w - 3)
-    flat_slots = slot[:, None] + jnp.arange(3, dtype=jnp.int32)[None, :]
-    slab = jnp.full(((g_total + 1) * w,), PAD_COORD, jnp.float32).at[
-        flat_slots.reshape(-1)
-    ].set(jnp.where(keep[:, None], xyz_s, PAD_COORD).reshape(-1),
-          mode="drop").reshape(g_total + 1, w)
-    counts = jax.ops.segment_sum(
-        keep.astype(jnp.int32), jnp.where(keep, flat_s, g_total),
-        num_segments=g_total + 1,
-    ).at[g_total].set(0)
+    slab = jnp.concatenate([
+        pts.reshape(g_total + 1, m * 3),
+        jnp.full((g_total + 1, w - m * 3), PAD_COORD, jnp.float32),
+    ], axis=1)
+    slab = slab.at[g_total].set(PAD_COORD)  # sentinel row: pure padding
+    counts = jnp.minimum(counts, m).at[g_total].set(0)
     return DenseVoxelMap(slab, counts, corner, grid, dims, slab_size)
 
 
@@ -454,7 +467,13 @@ jax.tree_util.register_pytree_node(
 def build_dense_gaussian_voxel_map(pc: PointCloud, grid, center: jax.Array,
                                    dims: Tuple[int, int, int]
                                    ) -> DenseGaussianVoxelMap:
-    """Per-voxel Gaussian moments scattered into a dense window (no sort)."""
+    """Per-voxel Gaussian moments accumulated into a dense window.
+
+    Points are sorted by voxel id first so every segment reduction runs the
+    sorted fast path — unsorted segment_sum lowers to per-index scatter-adds,
+    which serialize on TPU (measured ~100 ms per loop-closure verification
+    build at 131k points; sorted: ~2 ms).
+    """
     grid = jnp.asarray(grid, pc.xyz.dtype)
     gx, gy, gz = dims
     g_total = gx * gy * gz
@@ -462,12 +481,18 @@ def build_dense_gaussian_voxel_map(pc: PointCloud, grid, center: jax.Array,
     c = jnp.floor((pc.xyz - corner) / grid).astype(jnp.int32)
     flat = _dense_flat(c, dims, pc.mask)
 
+    order = jnp.argsort(flat)
+    flat_s = flat[order]
+    mask_s = pc.mask[order]
+    xyz = jnp.where(mask_s[:, None], pc.xyz[order], 0.0)
     counts = jax.ops.segment_sum(
-        pc.mask.astype(jnp.int32), flat, num_segments=g_total + 1)
-    xyz = jnp.where(pc.mask[:, None], pc.xyz, 0.0)
-    sums = jax.ops.segment_sum(xyz, flat, num_segments=g_total + 1)
+        mask_s.astype(jnp.int32), flat_s, num_segments=g_total + 1,
+        indices_are_sorted=True)
+    sums = jax.ops.segment_sum(xyz, flat_s, num_segments=g_total + 1,
+                               indices_are_sorted=True)
     outer = (xyz[:, :, None] * xyz[:, None, :]).reshape(-1, 9)
-    sums2 = jax.ops.segment_sum(outer, flat, num_segments=g_total + 1)
+    sums2 = jax.ops.segment_sum(outer, flat_s, num_segments=g_total + 1,
+                                indices_are_sorted=True)
     cnt = jnp.maximum(counts, 1).astype(sums.dtype)
     means = sums / cnt[:, None]
     e2 = sums2.reshape(g_total + 1, 3, 3) / cnt[:, None, None]
@@ -525,11 +550,15 @@ def build_gaussian_voxel_map(pc: PointCloud, grid, origin: jax.Array,
     seg = jnp.where(seg_id < num_voxels, seg_id, num_voxels)
 
     counts = jax.ops.segment_sum(
-        (seg_id < num_voxels).astype(jnp.int32), seg, num_segments=num_voxels
+        (seg_id < num_voxels).astype(jnp.int32), seg,
+        num_segments=num_voxels, indices_are_sorted=True
     )
-    sums = jax.ops.segment_sum(xyz_s, seg, num_segments=num_voxels)
+    sums = jax.ops.segment_sum(xyz_s, seg, num_segments=num_voxels,
+                               indices_are_sorted=True)
     outer = xyz_s[:, :, None] * xyz_s[:, None, :]
-    sums2 = jax.ops.segment_sum(outer.reshape(-1, 9), seg, num_segments=num_voxels)
+    sums2 = jax.ops.segment_sum(outer.reshape(-1, 9), seg,
+                                num_segments=num_voxels,
+                                indices_are_sorted=True)
     cnt = jnp.maximum(counts, 1).astype(sums.dtype)
     means = sums / cnt[:, None]
     e2 = sums2.reshape(num_voxels, 3, 3) / cnt[:, None, None]

@@ -85,7 +85,7 @@ def registration_worker(payload: Dict[str, Any], num_processes: int,
                         process_id: int) -> Dict[str, Any]:
     """Point-parallel sharded scan2map: build a big fixture, warm, time.
 
-    The dp-registration collective budget is one (6,6)+(6,)+() psum per GN
+    The dp-registration collective budget is ONE fused 43-float psum per GN
     iteration (<= 8 per solve) against O(n_src) per-point gather/plane-fit
     work per shard — the communication-light end of the framework's SPMD
     patterns, so wall-clock scaling is measurable even on the gRPC harness.

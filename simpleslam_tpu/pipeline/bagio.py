@@ -277,24 +277,38 @@ def _r_fields(hdr: bytes) -> Dict[str, bytes]:
     fields: Dict[str, bytes] = {}
     off = 0
     while off < len(hdr):
+        if off + 4 > len(hdr):
+            raise ValueError("truncated field length")
         (n,) = struct.unpack_from("<I", hdr, off)
+        if off + 4 + n > len(hdr):
+            raise ValueError("field runs past header end")
         kv = hdr[off + 4: off + 4 + n]
         off += 4 + n
         k, _, v = kv.partition(b"=")
-        fields[k.decode()] = v
+        fields[k.decode(errors="replace")] = v
     return fields
 
 
 def _iter_records(buf: bytes, off: int = 0) -> Iterator[Tuple[Dict[str, bytes], bytes]]:
+    """Iterate <hlen, header, dlen, data> records; raises ValueError on a
+    record that runs past the end of ``buf`` (truncated/corrupt input must
+    fail cleanly, not parse garbage — tests/test_bagio_golden.py fuzzes
+    this path)."""
     n = len(buf)
     while off + 8 <= n:
         (hlen,) = struct.unpack_from("<I", buf, off)
+        if off + 4 + hlen + 4 > n:
+            raise ValueError("truncated record header")
         fields = _r_fields(buf[off + 4: off + 4 + hlen])
         off += 4 + hlen
         (dlen,) = struct.unpack_from("<I", buf, off)
+        if off + 4 + dlen > n:
+            raise ValueError("truncated record data")
         data = buf[off + 4: off + 4 + dlen]
         off += 4 + dlen
         yield fields, data
+    if off != n:
+        raise ValueError("trailing garbage after last record")
 
 
 def write_bag(path: str, messages: Sequence[Tuple[str, object, float]],
@@ -422,21 +436,29 @@ def read_bag(path: str, topics: Optional[Sequence[str]] = None
             return topic, de(data), t
         return None
 
-    for fields, data in _iter_records(buf):
-        op = fields["op"][0]
-        if op == _OP_CHUNK:
-            comp = fields.get("compression", b"none")
-            payload = bz2.decompress(data) if comp == b"bz2" else data
-            if comp not in (b"none", b"bz2"):
-                raise ValueError(f"unsupported chunk compression {comp!r}")
-            for ifields, idata in _iter_records(payload):
-                out = handle(ifields, idata)
+    try:
+        for fields, data in _iter_records(buf):
+            if "op" not in fields or len(fields["op"]) < 1:
+                raise ValueError("record without op field")
+            op = fields["op"][0]
+            if op == _OP_CHUNK:
+                comp = fields.get("compression", b"none")
+                if comp not in (b"none", b"bz2"):
+                    raise ValueError(
+                        f"unsupported chunk compression {comp!r}")
+                payload = bz2.decompress(data) if comp == b"bz2" else data
+                for ifields, idata in _iter_records(payload):
+                    out = handle(ifields, idata)
+                    if out is not None:
+                        yield out
+            elif op in (_OP_CONN, _OP_MSG):
+                out = handle(fields, data)
                 if out is not None:
                     yield out
-        elif op in (_OP_CONN, _OP_MSG):
-            out = handle(fields, data)
-            if out is not None:
-                yield out
+    except (struct.error, KeyError, IndexError, OSError, EOFError) as e:
+        # corrupt/truncated input must surface as ONE clean error type,
+        # never a random low-level exception or a hang
+        raise ValueError(f"corrupt bag: {e}") from e
 
 
 # --------------------------------------------------------------------------

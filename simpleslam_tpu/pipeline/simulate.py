@@ -39,14 +39,50 @@ class Rect:
 
 
 @dataclass
+class Patch:
+    """Arbitrarily-oriented rectangular plane patch (the general primitive;
+    axis-aligned ``Rect``s are converted to patches for ray casting).
+
+    center: (3,) patch center; u, v: (3,) orthonormal in-plane axes;
+    half: (hu, hv) half extents along u and v.
+    """
+
+    center: np.ndarray
+    u: np.ndarray
+    v: np.ndarray
+    half: Tuple[float, float]
+
+
+def _rect_to_patch(r: Rect) -> Patch:
+    ua, va = _OTHER_AXES[r.axis]
+    umin, umax, vmin, vmax = r.bounds
+    center = np.zeros(3)
+    center[r.axis] = r.offset
+    center[ua] = (umin + umax) / 2
+    center[va] = (vmin + vmax) / 2
+    u = np.zeros(3)
+    u[ua] = 1.0
+    v = np.zeros(3)
+    v[va] = 1.0
+    return Patch(center, u, v, ((umax - umin) / 2, (vmax - vmin) / 2))
+
+
+@dataclass
 class World:
     rects: List[Rect] = field(default_factory=list)
+    patches: List[Patch] = field(default_factory=list)
 
-    def as_arrays(self):
-        axis = np.array([r.axis for r in self.rects], np.int32)
-        off = np.array([r.offset for r in self.rects], np.float32)
-        bounds = np.array([r.bounds for r in self.rects], np.float32)
-        return axis, off, bounds
+    def all_patches(self) -> List[Patch]:
+        return [_rect_to_patch(r) for r in self.rects] + self.patches
+
+    def as_patch_arrays(self):
+        ps = self.all_patches()
+        center = np.stack([p.center for p in ps]).astype(np.float64)
+        u = np.stack([p.u for p in ps]).astype(np.float64)
+        v = np.stack([p.v for p in ps]).astype(np.float64)
+        half = np.array([p.half for p in ps], np.float64)
+        normal = np.cross(u, v)
+        return center, u, v, half, normal
 
 
 def make_world(seed: int = 0, extent: float = 120.0, n_buildings: int = 24) -> World:
@@ -81,13 +117,116 @@ def make_world(seed: int = 0, extent: float = 120.0, n_buildings: int = 24) -> W
 _OTHER_AXES = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
 
 
+def _rot_patch(p: Patch, axis: np.ndarray, angle: float,
+               about: Optional[np.ndarray] = None) -> Patch:
+    """Rotate a patch by ``angle`` about ``axis`` (through ``about``)."""
+    axis = np.asarray(axis, np.float64)
+    axis = axis / np.linalg.norm(axis)
+    K = np.array([[0, -axis[2], axis[1]],
+                  [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    R = np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * (K @ K)
+    c = p.center if about is None else about + R @ (p.center - about)
+    return Patch(c, R @ p.u, R @ p.v, p.half)
+
+
+def make_adversarial_world(seed: int = 0, extent: float = 120.0,
+                           n_buildings: int = 24,
+                           max_tilt_deg: float = 25.0) -> World:
+    """The standard world with every surface randomly tilted.
+
+    Breaks the axis-aligned kindness of ``make_world`` (every plane there is
+    the best case point-to-plane LOAM can see): building faces and roofs are
+    rotated by up to ``max_tilt_deg`` about a random horizontal axis, and
+    free-standing tilted slabs are scattered between buildings, so plane
+    normals span the sphere instead of {x, y, z}.
+    """
+    rng = np.random.default_rng(seed)
+    base = make_world(seed=seed, extent=extent, n_buildings=n_buildings)
+    w = World()
+    w.rects = base.rects[:5]  # ground + boundary walls stay (drivable floor)
+    for r in base.rects[5:]:
+        p = _rect_to_patch(r)
+        ang = np.deg2rad(rng.uniform(-max_tilt_deg, max_tilt_deg))
+        ax = np.array([np.cos(rng.uniform(0, 2 * np.pi)),
+                       np.sin(rng.uniform(0, 2 * np.pi)), 0.0])
+        w.patches.append(_rot_patch(p, ax, ang, about=p.center))
+    for _ in range(n_buildings // 2):  # tilted free-standing slabs
+        cx, cy = rng.uniform(-extent * 0.7, extent * 0.7, size=2)
+        if abs(cx) < 14 and abs(cy) < 14:
+            continue
+        c = np.array([cx, cy, rng.uniform(1.0, 3.0)])
+        yaw = rng.uniform(0, 2 * np.pi)
+        u = np.array([np.cos(yaw), np.sin(yaw), 0.0])
+        v0 = np.array([-np.sin(yaw), np.cos(yaw), 0.0])
+        tilt = np.deg2rad(rng.uniform(10, 60))
+        v = np.cos(tilt) * np.array([0.0, 0.0, 1.0]) + np.sin(tilt) * v0
+        w.patches.append(Patch(c, u, v, (rng.uniform(2, 6),
+                                         rng.uniform(1.5, 4))))
+    return w
+
+
+def make_sloped_world(seed: int = 0, extent: float = 60.0,
+                      slope_deg: float = 6.0, n_buildings: int = 10) -> World:
+    """Inclined ground plane (rotated about y) + tilted structures: exposes
+    whether registration itself holds attitude rather than the planar clamp
+    defining z/roll/pitch away."""
+    rng = np.random.default_rng(seed)
+    w = World()
+    ground = Patch(np.zeros(3), np.array([1.0, 0, 0]), np.array([0, 1.0, 0]),
+                   (extent, extent))
+    w.patches.append(_rot_patch(ground, np.array([0, 1.0, 0]),
+                                np.deg2rad(slope_deg)))
+    slope_n = w.patches[0]
+    nrm = np.cross(slope_n.u, slope_n.v)
+    for _ in range(n_buildings):
+        cx, cy = rng.uniform(-extent * 0.8, extent * 0.8, size=2)
+        if abs(cx) < 10 and abs(cy) < 10:
+            continue
+        # ground height at (cx, cy) on the slope: z = -(n_x x + n_y y)/n_z
+        gz = -(nrm[0] * cx + nrm[1] * cy) / nrm[2]
+        sx, sy = rng.uniform(4, 10, size=2)
+        h = rng.uniform(3, 9)
+        for face in (Rect(0, cx - sx / 2, (cy - sy / 2, cy + sy / 2, gz, gz + h)),
+                     Rect(0, cx + sx / 2, (cy - sy / 2, cy + sy / 2, gz, gz + h)),
+                     Rect(1, cy - sy / 2, (cx - sx / 2, cx + sx / 2, gz, gz + h)),
+                     Rect(1, cy + sy / 2, (cx - sx / 2, cx + sx / 2, gz, gz + h))):
+            p = _rect_to_patch(face)
+            ang = np.deg2rad(rng.uniform(-15, 15))
+            ax = np.array([np.cos(rng.uniform(0, 2 * np.pi)),
+                           np.sin(rng.uniform(0, 2 * np.pi)), 0.0])
+            w.patches.append(_rot_patch(p, ax, ang, about=p.center))
+    return w
+
+
+def make_corridor_world(length: float = 200.0, width: float = 6.0,
+                        height: float = 4.0) -> World:
+    """A long featureless corridor: translation along x is unobservable by
+    point-to-plane registration (every normal is ±y or ±z) — the degeneracy
+    case the reference's ``_removeDegeneratePart`` scaffold targets
+    (PCR/src/LoamRegister.cpp:209-218)."""
+    w = World()
+    w.rects.append(Rect(2, 0.0, (-10.0, length, -width / 2, width / 2)))
+    w.rects.append(Rect(1, -width / 2, (-10.0, length, 0.0, height)))
+    w.rects.append(Rect(1, width / 2, (-10.0, length, 0.0, height)))
+    w.rects.append(Rect(2, height, (-10.0, length, -width / 2, width / 2)))
+    return w
+
+
 def simulate_scan(world: World, sensor_pose: np.ndarray, n_az: int = 900,
                   n_el: int = 16, min_range: float = 0.8, max_range: float = 80.0,
-                  noise: float = 0.01, rng: Optional[np.random.Generator] = None) -> np.ndarray:
+                  noise: float = 0.01, rng: Optional[np.random.Generator] = None,
+                  outlier_frac: float = 0.0,
+                  dropout_frac: float = 0.0) -> np.ndarray:
     """Ray-cast one spinning-LiDAR scan. Returns (n, 3) points in sensor frame.
 
     sensor_pose: (4, 4) world-from-sensor. Elevation fan -15..+15 deg
     (VLP-16-like); rays hitting nothing in [min_range, max_range] are dropped.
+    Supports arbitrarily-oriented ``Patch`` surfaces (ray-plane intersection
+    + in-plane bounds test). ``outlier_frac`` replaces that fraction of
+    returns with a random range along the same ray (spurious returns: rain,
+    dynamic objects, multipath); ``dropout_frac`` drops returns at random
+    (reflectance misses).
     """
     az = np.linspace(0, 2 * np.pi, n_az, endpoint=False)
     el = np.deg2rad(np.linspace(-15.0, 15.0, n_el))
@@ -100,36 +239,36 @@ def simulate_scan(world: World, sensor_pose: np.ndarray, n_az: int = 900,
     o = sensor_pose[:3, 3]
     d_world = d_sensor @ R.T  # (Nr, 3)
 
-    axis, off, bounds = world.as_arrays()
-    nr = d_world.shape[0]
-    np_l = len(axis)
-    # t for each ray/plane: (o + t d)[axis] = off
-    d_ax = d_world[:, axis]  # (Nr, Np)
-    o_ax = o[axis][None, :]  # (1, Np)
+    center, u_ax, v_ax, half, normal = world.as_patch_arrays()
+    # t for each ray/patch: ((o + t d) - c) . n = 0
+    dn = d_world @ normal.T                                   # (Nr, Np)
+    on = np.einsum("pi,pi->p", center - o[None, :], normal)  # (Np,)
     with np.errstate(divide="ignore", invalid="ignore"):
-        t = (off[None, :] - o_ax) / d_ax
-    t = np.where(np.abs(d_ax) < 1e-9, np.inf, t)
+        t = on[None, :] / dn
+    t = np.where(np.abs(dn) < 1e-9, np.inf, t)
     t = np.where((t >= min_range) & (t <= max_range), t, np.inf)
-    # in-bounds test on the two remaining axes (inf t lanes masked out below;
-    # compute with a finite stand-in to keep inf*0 NaNs out)
     t_fin = np.where(np.isfinite(t), t, 0.0)
     hit = o[None, None, :] + t_fin[:, :, None] * d_world[:, None, :]  # (Nr, Np, 3)
-    u_ax = np.array([_OTHER_AXES[a][0] for a in axis])
-    v_ax = np.array([_OTHER_AXES[a][1] for a in axis])
-    u = np.take_along_axis(hit, u_ax[None, :, None].repeat(nr, 0), axis=2)[:, :, 0]
-    v = np.take_along_axis(hit, v_ax[None, :, None].repeat(nr, 0), axis=2)[:, :, 0]
-    ok = (
-        np.isfinite(t)
-        & (u >= bounds[None, :, 0]) & (u <= bounds[None, :, 1])
-        & (v >= bounds[None, :, 2]) & (v <= bounds[None, :, 3])
-    )
+    rel = hit - center[None, :, :]
+    a = np.einsum("rpi,pi->rp", rel, u_ax)
+    b = np.einsum("rpi,pi->rp", rel, v_ax)
+    ok = (np.isfinite(t)
+          & (np.abs(a) <= half[None, :, 0]) & (np.abs(b) <= half[None, :, 1]))
     t = np.where(ok, t, np.inf)
     tmin = t.min(axis=1)
     valid = np.isfinite(tmin)
-    pts_world = o[None, :] + tmin[valid, None] * d_world[valid]
+    rng = rng or np.random.default_rng(0)
+    tv = tmin[valid]
+    dv = d_world[valid]
+    if outlier_frac > 0:
+        out = rng.random(len(tv)) < outlier_frac
+        tv = np.where(out, rng.uniform(min_range, max_range, len(tv)), tv)
+    if dropout_frac > 0:
+        keep = rng.random(len(tv)) >= dropout_frac
+        tv, dv = tv[keep], dv[keep]
+    pts_world = o[None, :] + tv[:, None] * dv
     pts_sensor = (pts_world - o) @ R
     if noise > 0:
-        rng = rng or np.random.default_rng(0)
         pts_sensor = pts_sensor + rng.normal(size=pts_sensor.shape) * noise
     return pts_sensor.astype(np.float32)
 
@@ -188,9 +327,10 @@ def simulate_sequence(world: World, n_scans: int = 200, dt: float = 0.1,
                       lidar_height: float = 2.0, seed: int = 0,
                       wheel_rate: float = 20.0, imu_rate: float = 100.0,
                       scan_noise: float = 0.01,
-                      n_az: int = 900, n_el: int = 16) -> SensorStreams:
+                      n_az: int = 900, n_el: int = 16,
+                      loop: bool = True) -> SensorStreams:
     rng = np.random.default_rng(seed)
-    stamps, poses = make_trajectory(n_scans, dt, speed, radius)
+    stamps, poses = make_trajectory(n_scans, dt, speed, radius, loop=loop)
     scans = [
         simulate_scan(world, sensor_from_body(poses[i], lidar_height),
                       n_az=n_az, n_el=n_el, noise=scan_noise, rng=rng)

@@ -62,17 +62,18 @@ from . import simulate as sim
 from .app import SlamResult, SlamSystem
 
 
-@partial(jax.jit, static_argnames=("kind", "mode"))
+@partial(jax.jit, static_argnames=("kind", "mode", "clamp", "degen"))
 def _streamed_batch(ds_stack: jax.Array, local_odoms: jax.Array, target,
                     pose_prev: jax.Array, pose_prev2: jax.Array,
-                    odom2map: jax.Array, kind: str, mode: str):
+                    odom2map: jax.Array, kind: str, mode: str,
+                    clamp: bool = True, degen: float = 0.0):
     """K odometry steps as ONE program: ``lax.scan`` over the scan axis.
 
     ``ds_stack`` is (K, C, 3) host-downsampled padded scans (the validity
     mask is derived on device from the PAD_COORD sentinel). ``local_odoms``
     is (K, 4, 4) EKF local odometry (lio mode; ignored in lo mode).
-    Returns ((pose_K, pose_{K-1}, odom2map_K), packed (K, 18)) where a
-    packed row is [pose16, converged, fitness].
+    Returns ((pose_K, pose_{K-1}, odom2map_K), packed (K, 20)) where a
+    packed row is [pose16, converged, fitness, gn_iters, gn_gathers].
     """
 
     def one(carry, inp):
@@ -87,13 +88,17 @@ def _streamed_batch(ds_stack: jax.Array, local_odoms: jax.Array, target,
             # constant-velocity prediction from the device chain
             step = geo.pose_compose(geo.pose_inverse(prev2), prev)
             init = geo.pose_compose(prev, step)
-        pose, conv, fit = register_kind(pc, target, init, kind)
-        pose = geo.six_dof_to_mobile(pose)  # planar clamp each frame
+        pose, conv, fit, iters, gathers = register_kind(pc, target, init,
+                                                        kind, degen)
+        if clamp:  # planar clamp each frame (frontend.planar_clamp config)
+            pose = geo.six_dof_to_mobile(pose)
         if mode == "lio":
             # odom2map update (LidarOdometry.cpp:238)
             o2m = geo.pose_compose(pose, geo.pose_inverse(lo_pose))
         packed = jnp.concatenate([
-            pose.reshape(16), conv.astype(jnp.float32)[None], fit[None]])
+            pose.reshape(16), conv.astype(jnp.float32)[None], fit[None],
+            iters.astype(jnp.float32)[None],
+            gathers.astype(jnp.float32)[None]])
         return (pose, prev, o2m), packed
 
     carry, packed = jax.lax.scan(
@@ -134,6 +139,8 @@ class _BackendWorker:
         self.thread.start()
 
     def _run(self) -> None:
+        import time as _time
+
         kf = self.kf_obj
         tt = TicToc()
         try:
@@ -143,11 +150,16 @@ class _BackendWorker:
                         kf.event_cv.wait(timeout=0.1)
                     if kf._event == KFEvent.NONE and self._stop:
                         return
+                    stamp = kf.event_stamp
                 sys_ = self.system
                 tt.tic()
                 if sys_.backend.optim_once():
                     self._push(sys_.backend.last_delta)
                 self.timers.add("backend", tt.toc())
+                # how far the resident worker runs behind the odometry loop
+                # (event raised -> solve done); sustained growth here means
+                # the backend cannot keep up with the keyframe rate
+                self.timers.add("backend_lag", _time.monotonic() - stamp)
                 if sys_.loop_closure is not None:
                     tt.tic()
                     if sys_.loop_closure.lc_handler_once():
@@ -264,13 +276,21 @@ class _ScanPrep:
 
 
 def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
-                 sync_every: int = 16, progress: bool = False) -> SlamResult:
-    """Replay ``streams`` through the streamed executor (lo or lio mode)."""
+                 sync_every: int = 16, progress: bool = False,
+                 device_probe: bool = False) -> SlamResult:
+    """Replay ``streams`` through the streamed executor (lo or lio mode).
+
+    ``device_probe=True`` blocks on each batch right after dispatch and books
+    the wait as ``device_exec`` — an accurate per-batch device-pipeline time
+    at the cost of serializing the double-buffered overlap. Bench probes use
+    it on a short segment; throughput runs leave it off.
+    """
     lg = Logger.get_instance()
     cfg = Params.get_instance()
     timers = StageTimers()
     tt_all = TicToc()
     tt = TicToc()
+    stats = {"gn_iters": 0.0, "gn_gathers": 0.0, "n_batches": 0, "n_reg": 0}
 
     mm = system.map_manager
     mm.enable_device_store()
@@ -278,6 +298,8 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
     dsc = mm.kf_capacity  # one layout for scans and the keyframe store
     kind = system.register.KIND
     mode = system.mode
+    clamp = bool(cfg["frontend"].get("planar_clamp", True))
+    degen = float(system.register.degen_per_row)
 
     scan_stamps = np.asarray(streams.scan_stamps)
     n_scans = len(scan_stamps)
@@ -385,7 +407,10 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
         pre = pose_prev
         (pose_prev, pose_prev2, odom2map), packed = _streamed_batch(
             rows_d, locals_d, target, pose_prev, pose_prev2, odom2map,
-            kind, mode)
+            kind, mode, clamp, degen)
+        if device_probe:
+            jax.block_until_ready(packed)
+            timers.add("device_exec", tt.toc())
         if len(batch) < sync_every:
             # partial tail: rewind the device chain to the real last scan
             pose_prev = packed[len(batch) - 1, :16].reshape(4, 4)
@@ -401,9 +426,25 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
     def retire(batch, packed) -> None:
         """Fetch one batch's results and do the lagged host bookkeeping."""
         nonlocal n_conv, pose_prev, pose_prev2, odom2map
+        # ONE fetch per batch. In probe mode the fetch is split into its
+        # physics — fetch_wait (residual device-pipeline time not hidden by
+        # host work) and fetch_xfer (the device->host result round-trip) — at
+        # the cost of one extra tunnel RTT; the throughput path keeps the
+        # single fused fetch (measured: a separate block_until_ready +
+        # np.asarray costs ~35 ms/batch extra through the axon tunnel).
         tt.tic()
-        stacked = np.asarray(packed)  # ONE fetch per batch
-        timers.add("fetch", tt.toc())
+        if device_probe:
+            jax.block_until_ready(packed)
+            timers.add("fetch_wait", tt.toc())
+            stacked = np.asarray(packed)
+            timers.add("fetch_xfer", tt.toc())
+        else:
+            stacked = np.asarray(packed)
+            timers.add("fetch", tt.toc())
+        stats["n_batches"] += 1
+        stats["n_reg"] += len(batch)
+        stats["gn_iters"] += float(np.sum(stacked[: len(batch), 18]))
+        stats["gn_gathers"] += float(np.sum(stacked[: len(batch), 19]))
         tt.tic()
         for k, i in enumerate(batch):
             pose = stacked[k, :16].reshape(4, 4).astype(np.float64)
@@ -444,6 +485,28 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
         pose_prev2 = _apply_delta(delta, pose_prev2)
         odom2map = _apply_delta(delta, odom2map)
 
+    def _consume_reloc(si: int) -> None:
+        """RelocDataProxy semantics on the device chain: an /initialpose
+        reloc (LidarOdometry.set_reloc_flag) resets the pose chain — and in
+        lio mode re-anchors odom2map so the next init equals the reloc pose
+        (LidarOdometry.cpp:121-129's reloc branch). Takes effect at the next
+        batch boundary (<= sync_every scans of latency)."""
+        nonlocal pose_prev, pose_prev2, odom2map
+        lo = system.lidar_odometry
+        with lo._reloc_lock:
+            if not lo.reloc:
+                return
+            rpose = lo.reloc_pose.copy()
+            lo.reloc = False
+        lg.info("reloc-ing...")
+        pose_prev = jnp.asarray(rpose.astype(np.float32))
+        pose_prev2 = pose_prev  # zero-velocity restart
+        if mode == "lio":
+            odom2map = jnp.asarray(
+                (rpose @ np.linalg.inv(local_np[min(si, n_scans - 1)]
+                                       .astype(np.float64))
+                 ).astype(np.float32))
+
     # double-buffered drive: batch N+1 is dispatched BEFORE batch N is
     # fetched, so device execution overlaps the fetch round-trip. Note the
     # backend correction applied in retire() reaches the chain one batch
@@ -453,6 +516,7 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
     while si < n_scans or pending is not None:
         fresh = None
         if si < n_scans:
+            _consume_reloc(si)
             fresh = dispatch(si, pose_prev, pose_prev2, odom2map)
             batch, packed, pose_prev, pose_prev2, odom2map = fresh
             si = batch[-1] + 1
@@ -472,6 +536,7 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
     wall = tt_all.elapsed()
     with mm.kf_obj.lock:
         kf_count = len(mm.kf_obj.keyframes)
+    n_reg = max(stats["n_reg"], 1)
     return SlamResult(
         stamps=scan_stamps,
         poses=np.stack(est_poses),
@@ -479,4 +544,9 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
         wall_time=wall,
         keyframe_count=kf_count,
         converged_frac=n_conv / max(n_scans, 1),
+        extras={
+            "gn_iters_mean": round(stats["gn_iters"] / n_reg, 3),
+            "gn_gathers_mean": round(stats["gn_gathers"] / n_reg, 3),
+            "n_batches": stats["n_batches"],
+        },
     )

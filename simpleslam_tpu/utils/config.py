@@ -59,7 +59,15 @@ DEFAULT_PARAMS: dict = {
             }
         },
     },
-    "frontend": {"pcr": "loam", "local_size": 100, "global_size": 10},
+    # planar_clamp: the per-frame SixDof2Mobile z/roll/pitch clamp
+    # (LidarOdometry.cpp:211). The reference hardcodes it (mobile base on
+    # flat ground); sloped/rough terrain needs it off, so it is a config
+    # knob here (tests/test_adversarial.py runs a sloped world with it off).
+    # degeneracy_guard: zero GN updates along eigen-directions with no real
+    # constraint (corridors) — disabled by default for the same reason the
+    # reference disables its _removeDegeneratePart (ops/loam.py rationale).
+    "frontend": {"pcr": "loam", "local_size": 100, "global_size": 10,
+                 "planar_clamp": True, "degeneracy_guard": False},
     # TPU-native capacity knobs (no reference counterpart): static shapes
     # everything is padded to. Chosen so XLA compiles each kernel once.
     "tpu": {
