@@ -106,6 +106,18 @@ class Backend:
         # (rebuild + one recompile per growth — log4(max/min) times per run).
         self._k_bucket = min(int(tpu.get("kf_bucket", 128)), self.k_cap)
         self._e_bucket = min(int(tpu.get("edge_bucket", 512)), self.e_cap)
+        # multi-chip: solve the graph edge-sharded over the configured mesh
+        # (the executor shards registration over the same devices; see
+        # tpu.mesh_devices in utils/config.py)
+        mesh_n = int(tpu.get("mesh_devices", 0))
+        self._mesh = None
+        self._sharded_solvers = {}
+        if mesh_n:
+            from ..parallel.mesh import make_mesh
+
+            self._mesh = make_mesh(mesh_n, ("kf",))
+            # edge buckets must split evenly over the mesh
+            self._e_bucket = -(-self._e_bucket // mesh_n) * mesh_n
 
         # factor storage (host mirror for g2o persistence; the solver state
         # is the device-resident graph below)
@@ -218,7 +230,17 @@ class Backend:
         # keyframe event, a stronger re-solve on loop closure
         # (update(1) vs +update(3), Backend.cpp:301-304)
         iters = 12 if strong else 4
-        res = pgo.solve(g, max_iters=iters, cg_iters=64)
+        if self._mesh is not None:
+            fn = self._sharded_solvers.get(iters)
+            if fn is None:
+                from ..parallel.dist_posegraph import sharded_solve
+
+                fn = sharded_solve(self._mesh, axis="kf", max_iters=iters,
+                                   cg_iters=64)
+                self._sharded_solvers[iters] = fn
+            res = fn(g)
+        else:
+            res = pgo.solve(g, max_iters=iters, cg_iters=64)
         # keep the optimized poses device-resident for the next event
         self._g = g._replace(poses=res.poses)
         packed = np.asarray(_pack_solve(res.poses, res.cost0, res.cost,
@@ -250,6 +272,9 @@ class Backend:
             self._g = None  # rebuild at the larger bucket
         while e > self._e_bucket:
             self._e_bucket = min(self._e_bucket * 4, self.e_cap)
+            if self._mesh is not None:  # keep edges mesh-divisible
+                n = self._mesh.devices.size
+                self._e_bucket = -(-self._e_bucket // n) * n
             self._g = None
         if self._g is None:
             self._g = self._build_graph(kf_poses)

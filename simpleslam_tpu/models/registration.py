@@ -37,7 +37,7 @@ from ..utils.config import Params
 # ---------------------------------------------------------------------------
 
 def register_kind(ds: PointCloud, target: Any, init_pose: jax.Array,
-                  kind: str, degen=0.0):
+                  kind: str, degen=0.0, reduce_fn=None):
     """Trace-time dispatch to the configured backend:
     (pose, conv, fitness, iters, gathers).
 
@@ -46,10 +46,14 @@ def register_kind(ds: PointCloud, target: Any, init_pose: jax.Array,
     ``gathers`` counts HBM neighborhood sweeps (== iters for backends without
     a gather cache) — the utilization accounting consumes it. ``degen`` > 0
     enables LOAM's degeneracy guard (frontend.degeneracy_guard config).
+    ``reduce_fn`` (multi-chip path, LOAM only): reduces the per-shard normal
+    equations across the mesh — the executor shards scan points over the
+    ``dp`` axis and passes the fused psum here.
     """
     fit = jnp.float32(0.0)
     if kind == "loam":
-        res = loam_ops.scan2map(ds, target, init_pose, degen_per_row=degen)
+        res = loam_ops.gn_loop(ds, target, init_pose, reduce_fn=reduce_fn,
+                               degen_per_row=degen)
         pose, conv, gathers = res.pose, res.converged, res.n_gathers
     elif kind == "ndt":
         res = ndt_ops.align(ds, target, init_pose)

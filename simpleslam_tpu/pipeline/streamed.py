@@ -62,12 +62,13 @@ from . import simulate as sim
 from .app import SlamResult, SlamSystem
 
 
-@partial(jax.jit, static_argnames=("kind", "mode", "clamp", "degen"))
-def _streamed_batch(ds_stack: jax.Array, local_odoms: jax.Array, target,
-                    pose_prev: jax.Array, pose_prev2: jax.Array,
-                    odom2map: jax.Array, kind: str, mode: str,
-                    clamp: bool = True, degen: float = 0.0):
-    """K odometry steps as ONE program: ``lax.scan`` over the scan axis.
+def _batch_body(ds_stack: jax.Array, local_odoms: jax.Array, target,
+                pose_prev: jax.Array, pose_prev2: jax.Array,
+                odom2map: jax.Array, kind: str, mode: str,
+                clamp: bool, degen: float, reduce_fn=None):
+    """K odometry steps as ONE program: ``lax.scan`` over the scan axis
+    (trace-time body, shared by the single-device jit and the mesh-sharded
+    wrapper — ``reduce_fn`` reduces per-shard normal equations there).
 
     ``ds_stack`` is (K, C, 3) host-downsampled padded scans (the validity
     mask is derived on device from the PAD_COORD sentinel). ``local_odoms``
@@ -89,7 +90,8 @@ def _streamed_batch(ds_stack: jax.Array, local_odoms: jax.Array, target,
             step = geo.pose_compose(geo.pose_inverse(prev2), prev)
             init = geo.pose_compose(prev, step)
         pose, conv, fit, iters, gathers = register_kind(pc, target, init,
-                                                        kind, degen)
+                                                        kind, degen,
+                                                        reduce_fn)
         if clamp:  # planar clamp each frame (frontend.planar_clamp config)
             pose = geo.six_dof_to_mobile(pose)
         if mode == "lio":
@@ -104,6 +106,58 @@ def _streamed_batch(ds_stack: jax.Array, local_odoms: jax.Array, target,
     carry, packed = jax.lax.scan(
         one, (pose_prev, pose_prev2, odom2map), (ds_stack, local_odoms))
     return carry, packed
+
+
+@partial(jax.jit, static_argnames=("kind", "mode", "clamp", "degen"))
+def _streamed_batch(ds_stack: jax.Array, local_odoms: jax.Array, target,
+                    pose_prev: jax.Array, pose_prev2: jax.Array,
+                    odom2map: jax.Array, kind: str, mode: str,
+                    clamp: bool = True, degen: float = 0.0):
+    return _batch_body(ds_stack, local_odoms, target, pose_prev, pose_prev2,
+                       odom2map, kind, mode, clamp, degen)
+
+
+_SHARDED_BATCH_CACHE = {}
+
+
+def make_sharded_batch(mesh, kind: str, mode: str, clamp: bool, degen: float,
+                       axis: str = "dp"):
+    """Mesh-sharded batch program: scan POINTS sharded over ``axis``.
+
+    The BASELINE.json north star made executable: each batch's (K, C, 3)
+    scan stack is partitioned along the point axis, every device runs the
+    full GN chain on its point shard against the replicated submap target,
+    and per-iteration normal equations ride ONE fused 43-float psum over
+    ICI. The sequential pose chain / odom2map logic is replicated (it is
+    scalar work). Cached per (mesh, config) so repeat calls reuse the
+    compiled program.
+    """
+    key = (id(mesh), kind, mode, clamp, degen, axis)
+    fn = _SHARDED_BATCH_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from jax.sharding import PartitionSpec as P
+
+    def fused_psum(JtJ, JtE, n_valid):
+        flat = jnp.concatenate(
+            [JtJ.reshape(36), JtE, n_valid.astype(jnp.float32)[None]])
+        flat = jax.lax.psum(flat, axis)
+        return (flat[:36].reshape(6, 6), flat[36:42],
+                flat[42].astype(jnp.int32))
+
+    def body(ds_stack, local_odoms, target, pose_prev, pose_prev2, odom2map):
+        return _batch_body(ds_stack, local_odoms, target, pose_prev,
+                           pose_prev2, odom2map, kind, mode, clamp, degen,
+                           fused_psum)
+
+    sm = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, axis), P(), P(), P(), P(), P()),
+        out_specs=((P(), P(), P()), P()),
+        check_vma=False)
+    fn = jax.jit(sm)
+    _SHARDED_BATCH_CACHE[key] = fn
+    return fn
 
 
 @jax.jit
@@ -301,6 +355,24 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
     clamp = bool(cfg["frontend"].get("planar_clamp", True))
     degen = float(system.register.degen_per_row)
 
+    # multi-chip execution: tpu.mesh_devices > 0 runs the WHOLE mapping
+    # pipeline on a device mesh — scan points sharded over "dp" for
+    # registration (one fused psum per GN iteration), and the backend worker
+    # solves the pose graph edge-sharded over the same devices
+    # (models/backend.py picks the mesh up from the same config key)
+    mesh_n = int(cfg["tpu"].get("mesh_devices", 0))
+    if mesh_n:
+        if kind != "loam":
+            raise ValueError("tpu.mesh_devices currently shards the loam "
+                             f"register only (configured pcr: {kind})")
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(mesh_n, ("dp",))
+        batch_fn = make_sharded_batch(mesh, kind, mode, clamp, degen)
+    else:
+        batch_fn = partial(_streamed_batch, kind=kind, mode=mode,
+                           clamp=clamp, degen=degen)
+
     scan_stamps = np.asarray(streams.scan_stamps)
     n_scans = len(scan_stamps)
     est_poses: List[np.ndarray] = [np.eye(4)] * n_scans
@@ -405,9 +477,8 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
         timers.add("upload", tt.toc())
         tt.tic()
         pre = pose_prev
-        (pose_prev, pose_prev2, odom2map), packed = _streamed_batch(
-            rows_d, locals_d, target, pose_prev, pose_prev2, odom2map,
-            kind, mode, clamp, degen)
+        (pose_prev, pose_prev2, odom2map), packed = batch_fn(
+            rows_d, locals_d, target, pose_prev, pose_prev2, odom2map)
         if device_probe:
             jax.block_until_ready(packed)
             timers.add("device_exec", tt.toc())

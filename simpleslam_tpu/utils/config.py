@@ -71,6 +71,11 @@ DEFAULT_PARAMS: dict = {
     # TPU-native capacity knobs (no reference counterpart): static shapes
     # everything is padded to. Chosen so XLA compiles each kernel once.
     "tpu": {
+        # multi-chip execution: > 0 runs the streamed pipeline on a device
+        # mesh of that many chips — registration shards scan points ("dp"
+        # axis, fused psum per GN iteration), the backend solves the pose
+        # graph edge-sharded. 0 = single device.
+        "mesh_devices": 0,
         "scan_capacity": 32768,      # raw scan points
         "ds_scan_capacity": 8192,    # downsampled scan points fed to PCR
         # streamed executor: device-resident keyframe store row capacity and
