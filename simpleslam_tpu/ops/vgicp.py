@@ -75,11 +75,17 @@ class VgicpResult(NamedTuple):
 def build_target(submap: PointCloud, resolution, center: jax.Array,
                  dims) -> VgicpTarget:
     gauss = build_dense_gaussian_voxel_map(submap, resolution, center, dims)
-    # fitness-score map: cold path (one NN pass per align), so use narrow
-    # 32-lane rows — slab 8 needs 24 f32 lanes; 128-lane rows would cost
-    # ~600 MB of HBM at these dims (advisor finding, round 1)
-    pts = build_dense_voxel_map(submap, resolution, center, dims, slab_size=8,
-                                lane_quantum=32)
+    # fitness-score map: cold path (one NN pass per align) at HALF the
+    # spatial resolution of the registration grid — the fitness threshold
+    # (0.3 on mean squared NN distance, LoopClosureManager.cpp:97-106)
+    # discriminates aligned (~0.01) from misaligned (>1) clouds, so 2 m
+    # voxels lose nothing while the build touches 1/4 the voxel rows (the
+    # map build cost scales with the grid, not the points — measured ~28 ms
+    # per loop-closure candidate at full resolution). Narrow 64-lane rows:
+    # slab 16 needs 48 f32 lanes; 128 lanes would double the HBM.
+    fdims = (max(dims[0] // 2, 1), max(dims[1] // 2, 1), max(dims[2] // 2, 1))
+    pts = build_dense_voxel_map(submap, resolution * 2.0, center, fdims,
+                                slab_size=16, lane_quantum=64)
     return VgicpTarget(gauss, pts)
 
 
@@ -154,31 +160,48 @@ def _linearize(src: PointCloud, src_covs: jax.Array, src_valid: jax.Array,
 @partial(jax.jit, static_argnames=("max_iters", "eps"))
 def _align_impl(src: PointCloud, src_covs, src_valid, target: VgicpTarget,
                 init_pose: jax.Array, max_iters: int, eps: float):
+    """Damped GN with a CARRIED linearization: the trial evaluation IS the
+    next iteration's linearization (accepted: keep it; rejected: keep the
+    carried one) — one correspondence pass per iteration instead of two.
+    Identical iterates to the step-then-cost-eval form, half the device
+    work; matters most in LC mode (up to 100 iterations per candidate)."""
+
     def cond(carry):
-        pose, it, conv, lam, _ = carry
+        pose, it, conv, lam, _, _, _, _ = carry
         return (it < max_iters) & (~conv)
 
     def body(carry):
-        pose, it, conv, lam, cost_prev = carry
-        H, g, cost, n = _linearize(src, src_covs, src_valid, target, pose)
+        pose, it, conv, lam, H, g, cost, n = carry
         diag = jnp.clip(jnp.diagonal(H), 1e-6, None)
         dx = jnp.linalg.solve(H + lam * jnp.diag(diag), -g)
         new_pose = geo.pose_compose(geo.se3_exp(dx), pose)
-        _, _, new_cost, _ = _linearize(src, src_covs, src_valid, target, new_pose)
-        improved = new_cost < cost
-        pose_next = jnp.where(improved, new_pose, pose)
-        lam_next = jnp.where(improved, jnp.maximum(lam * 0.5, 1e-8),
-                             jnp.minimum(lam * 8.0, 1e6))
-        conv_next = improved & (jnp.linalg.norm(dx) < eps)
+        H2, g2, cost2, n2 = _linearize(src, src_covs, src_valid, target,
+                                       new_pose)
+        improved = cost2 < cost
+        gain = cost - cost2  # chi2 improvement of the trial (pre-update)
+        pose = jnp.where(improved, new_pose, pose)
+        H = jnp.where(improved, H2, H)
+        g = jnp.where(improved, g2, g)
+        cost = jnp.where(improved, cost2, cost)
+        n = jnp.where(improved, n2, n)
+        lam = jnp.where(improved, jnp.maximum(lam * 0.5, 1e-8),
+                        jnp.minimum(lam * 8.0, 1e6))
+        # step-norm epsilon (LsqRegistration parity) OR cost plateau: in f32
+        # the step norm floors at ~1e-4 of numeric noise, so the LC mode's
+        # 1e-6 epsilon alone would always run the full 100-iteration budget
+        # (~60 ms/candidate of pure plateau); a <1e-4 relative chi2
+        # improvement is converged for every consumer of this pose
+        plateau = improved & (gain < 1e-4 * cost2)
+        conv_next = improved & (jnp.linalg.norm(dx) < eps) | plateau
         starved = n < 6
-        return (pose_next, it + 1, conv_next | starved, lam_next,
-                jnp.where(improved, new_cost, cost_prev))
+        return (pose, it + 1, conv_next | starved, lam, H, g, cost, n)
 
+    H0, g0, cost0, n0 = _linearize(src, src_covs, src_valid, target,
+                                   init_pose.astype(jnp.float32))
     init = (init_pose.astype(jnp.float32), jnp.int32(0), jnp.array(False),
-            jnp.float32(1e-6), jnp.float32(jnp.inf))
-    pose, iters, conv, _, _ = jax.lax.while_loop(cond, body, init)
+            jnp.float32(1e-6), H0, g0, cost0, n0)
+    pose, iters, conv, _, _, _, _, n = jax.lax.while_loop(cond, body, init)
     pose = geo.reorthonormalize(pose)
-    _, _, _, n = _linearize(src, src_covs, src_valid, target, pose)
     fit = fitness_score(src, target.pts, pose)
     return VgicpResult(pose, conv & (n >= 6), iters, fit)
 
