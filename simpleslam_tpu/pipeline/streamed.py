@@ -259,7 +259,7 @@ class _ScanPrep:
     """
 
     def __init__(self, scans, grid: float, capacity: int, depth: int = 64,
-                 chunk: int = 8):
+                 chunk: int = 16):
         self.scans = scans
         self.grid = grid
         self.capacity = capacity
