@@ -124,6 +124,21 @@ def _fused_downsample(pc: PointCloud, grid: jax.Array, origin: jax.Array,
     return pcops.compact(vox.voxel_downsample(pc, grid, origin), cap)
 
 
+# One fetch per scan2map: pose (16) + converged + fitness packed on device.
+# Fetching them separately costs one blocking round-trip EACH through the
+# device link (~25 ms/RTT on the axon tunnel — measured 3 RTTs per LC
+# verification before this, pure latency).
+_pack_align = jax.jit(lambda pose, conv, fit: jnp.concatenate([
+    pose.reshape(16), conv.astype(jnp.float32)[None],
+    jnp.asarray(fit, jnp.float32)[None]]))
+
+
+def _fetch_align(pose, conv, fit):
+    packed = np.asarray(_pack_align(pose, conv, fit))
+    return (packed[:16].reshape(4, 4).astype(np.float64),
+            bool(packed[16] > 0.5), float(packed[17]))
+
+
 class PointCloudRegister:
     """Abstract register (PointCloudRegister.hpp:12-38)."""
 
@@ -155,10 +170,10 @@ class PointCloudRegister:
             raw, target, jnp.asarray(pose, jnp.float32),
             jnp.float32(grid), ds_capacity, self.KIND, self.planar_clamp,
             float(self.degen_per_row))
-        self.is_converge = bool(conv)
+        pose_np, self.is_converge, fitness = _fetch_align(p, conv, fit)
         if self.KIND == "vgicp":
-            self._fitness = float(fit)
-        return np.asarray(p, np.float64), self.is_converge, ds
+            self._fitness = fitness
+        return pose_np, self.is_converge, ds
 
     def build_target_from_window(self, kf_buf: jax.Array, idx: np.ndarray,
                                  poses: np.ndarray, kf_mask: np.ndarray,
@@ -214,8 +229,9 @@ class LoamRegister(PointCloudRegister):
 
     def scan2map(self, src: PointCloud, target, pose: np.ndarray):
         res = loam_ops.scan2map(src, target, jnp.asarray(pose, jnp.float32))
-        self.is_converge = bool(res.converged)
-        return np.asarray(res.pose, np.float64), self.is_converge
+        p, self.is_converge, _ = _fetch_align(res.pose, res.converged,
+                                              jnp.float32(0.0))
+        return p, self.is_converge
 
 
 class NdtRegister(PointCloudRegister):
@@ -236,8 +252,9 @@ class NdtRegister(PointCloudRegister):
 
     def scan2map(self, src: PointCloud, target: ndt_ops.NdtTarget, pose: np.ndarray):
         res = ndt_ops.align(src, target, jnp.asarray(pose, jnp.float32))
-        self.is_converge = bool(res.converged)
-        return np.asarray(res.pose, np.float64), self.is_converge
+        p, self.is_converge, _ = _fetch_align(res.pose, res.converged,
+                                              jnp.float32(0.0))
+        return p, self.is_converge
 
 
 class VgicpRegister(PointCloudRegister):
@@ -268,9 +285,9 @@ class VgicpRegister(PointCloudRegister):
         res = vgicp_ops.align(
             src, target, jnp.asarray(pose, jnp.float32), lc_mode=self._lc_mode
         )
-        self.is_converge = bool(res.converged)
-        self._fitness = float(res.fitness)
-        return np.asarray(res.pose, np.float64), self.is_converge
+        p, self.is_converge, self._fitness = _fetch_align(
+            res.pose, res.converged, res.fitness)
+        return p, self.is_converge
 
 
 def make_register(pcr_type: Optional[str] = None) -> PointCloudRegister:

@@ -102,12 +102,17 @@ def normal_equations_from_candidates(src: PointCloud, cand: jax.Array,
     w5 = jnp.zeros_like(d2)
     d_k = jnp.zeros((d2.shape[0],), d2.dtype)
     dd = d2
+    n_c = d2.shape[1]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
     for _ in range(PLANE_PTS):
         d_k = jnp.min(dd, axis=1)
         hit = (dd == d_k[:, None]) & jnp.isfinite(d_k)[:, None]
-        # break ties to a single candidate: first occurrence along c
-        first = jnp.cumsum(hit.astype(jnp.int32), axis=1) == 1
-        hit = hit & first
+        # break ties to a single candidate: first occurrence along c,
+        # as min-index-of-hit (a second min reduction fuses with the
+        # elementwise chain; the previous cumsum lowered to a prefix-scan
+        # pass over the (N, C) tile set every round)
+        first = jnp.min(jnp.where(hit, iota_c, n_c), axis=1)
+        hit = hit & (iota_c == first[:, None])
         w5 = w5 + hit.astype(w5.dtype)
         dd = jnp.where(hit, jnp.inf, dd)
     gate = src.mask & (d_k < MAX_SEARCH_SQ) & (
@@ -185,6 +190,37 @@ REGATHER_DIST = 0.2
 DEGEN_EIGEN_PER_ROW = 0.02
 
 
+def _pallas_enabled(src: PointCloud) -> bool:
+    """Trace-time choice of the fused pallas linearization.
+
+    On TPU the post-gather linearization runs as ONE pallas kernel
+    (ops/loam_pallas.py) instead of ~10 XLA fusions re-reading the candidate
+    tiles from HBM (measured: 16-scan batch 68.9 -> 43.3 ms at production
+    shapes, final poses bit-identical). CPU (tests, virtual-mesh dryruns)
+    keeps the jnp path — pallas interpret mode is only used by the parity
+    tests.
+
+    Default OFF under the axon remote-compile harness
+    (PALLAS_AXON_REMOTE_COMPILE set): there the Mosaic kernel is compiled
+    server-side on EVERY process start with no client cache — measured 4.9 s
+    for the standalone kernel but 175 s-to-never when embedded in the
+    scan-chain program — so the reliable XLA path wins on that access path.
+    SIMPLESLAM_PALLAS=1/0 overrides in both directions.
+    """
+    import os
+
+    flag = os.environ.get("SIMPLESLAM_PALLAS", "")
+    if flag == "0":
+        return False
+    if src.xyz.shape[0] % 128 != 0:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if flag != "1" and os.environ.get("PALLAS_AXON_REMOTE_COMPILE"):
+        return False
+    return True
+
+
 def gn_loop(src: PointCloud, vm: VoxelMap, init_pose: jax.Array,
             max_iters: int = MAX_ITERS, reduce_fn=None,
             degen_per_row=0.0) -> LoamResult:
@@ -195,8 +231,23 @@ def gn_loop(src: PointCloud, vm: VoxelMap, init_pose: jax.Array,
     ``degen_per_row`` > 0 enables the degeneracy guard (see
     DEGEN_EIGEN_PER_ROW above).
     """
+    use_pallas = _pallas_enabled(src)
+
+    def _gather(pose):
+        cand, ok = gather_candidates(src, vm, pose)
+        if use_pallas:  # (3, C, Q) / (C, Q) — the kernel's lane-major layout
+            return jnp.transpose(cand, (2, 1, 0)), ok.T.astype(jnp.float32)
+        return cand, ok
+
+    def _normal_eq(cand, ok, pose):
+        if use_pallas:
+            from . import loam_pallas
+
+            return loam_pallas.normal_equations_t(src, cand, ok, pose)
+        return normal_equations_from_candidates(src, cand, ok, pose)
+
     pose0 = init_pose.astype(jnp.float32)
-    cand0, ok0 = gather_candidates(src, vm, pose0)
+    cand0, ok0 = _gather(pose0)
     r_max = jnp.max(jnp.where(src.mask,
                               jnp.linalg.norm(src.xyz, axis=-1), 0.0))
 
@@ -213,7 +264,7 @@ def gn_loop(src: PointCloud, vm: VoxelMap, init_pose: jax.Array,
         moved = dt + r_max * dth
 
         def refresh(_):
-            c, o = gather_candidates(src, vm, pose)
+            c, o = _gather(pose)
             return c, o, pose, gathers + 1
 
         def keep(_):
@@ -221,8 +272,7 @@ def gn_loop(src: PointCloud, vm: VoxelMap, init_pose: jax.Array,
 
         cand, ok, anchor, gathers = jax.lax.cond(
             moved > REGATHER_DIST, refresh, keep, None)
-        JtJ, JtE, n_valid = normal_equations_from_candidates(
-            src, cand, ok, pose)
+        JtJ, JtE, n_valid = _normal_eq(cand, ok, pose)
         if reduce_fn is not None:
             JtJ, JtE, n_valid = reduce_fn(JtJ, JtE, n_valid)
         enough = n_valid >= MIN_VALID_ROWS
