@@ -130,22 +130,35 @@ def main() -> int:
                                     n_az=1800, n_el=16)
     setup_s = time.perf_counter() - t_setup
 
+    # Wall budget: the tunnel's effective RTT/throughput varies several-fold
+    # between runs (and a run killed mid-flight wedges the device server for
+    # minutes). The headline config runs first; the extra configs run only
+    # while budget remains, so one slow phase degrades the report instead of
+    # producing NO json line.
+    budget_s = float(os.environ.get("SIMPLESLAM_BENCH_BUDGET_S", "480"))
+
     results = {}
     results["full"] = run_config(
         "full",
         {"mode": "lo", "backend": {"enable": True, "lc": {"enable": True}},
          "frontend": {"pcr": "loam"}},
         streams, sim, app, run_streamed, warmup, probe_n)
-    results["lo"] = run_config(
-        "lo",
-        {"mode": "lo", "backend": {"enable": False},
-         "frontend": {"pcr": "loam"}},
-        streams, sim, app, run_streamed, warmup, probe_n)
-    results["lio"] = run_config(
-        "lio",
-        {"mode": "lio", "backend": {"enable": True, "lc": {"enable": False}},
-         "frontend": {"pcr": "loam"}},
-        streams, sim, app, run_streamed, warmup, probe_n)
+    if time.perf_counter() - t_setup < budget_s * 0.55:
+        results["lo"] = run_config(
+            "lo",
+            {"mode": "lo", "backend": {"enable": False},
+             "frontend": {"pcr": "loam"}},
+            streams, sim, app, run_streamed, warmup, probe_n)
+    else:
+        results["lo"] = {"skipped": "bench budget exhausted"}
+    if time.perf_counter() - t_setup < budget_s * 0.8:
+        results["lio"] = run_config(
+            "lio",
+            {"mode": "lio", "backend": {"enable": True, "lc": {"enable": False}},
+             "frontend": {"pcr": "loam"}},
+            streams, sim, app, run_streamed, warmup, probe_n)
+    else:
+        results["lio"] = {"skipped": "bench budget exhausted"}
 
     cache_dir = jax.config.jax_compilation_cache_dir
     cache_entries = (len(os.listdir(cache_dir))
