@@ -91,7 +91,15 @@ DEFAULT_PARAMS: dict = {
         # submap radius. Lookup is pure index math (no key search).
         "dense_grid_dims": [192, 192, 32],
         # slab capacity of the LOAM dense map (grid 2.0; a 2 m voxel of a
-        # 0.5 m-downsampled surface holds ~16 points, 24 leaves headroom)
+        # 0.5 m-downsampled surface holds ~16 points, 24 leaves headroom).
+        # NOT 16, although that would make the corner gather's candidate
+        # axis one exact lane tile (8*16 = 128) and cut per-iteration
+        # candidate passes by a third: a full-to-the-brim slab truncates
+        # exactly when voxels hold two surfaces or dense returns, and the
+        # corridor-degeneracy world then lattice-locks (the along-corridor
+        # direction re-acquires spurious support above the guard floor —
+        # tests/test_adversarial.py::test_corridor_pipeline_does_not_diverge
+        # regresses from 0.05 m to 4.3 m of invented standstill).
         "loam_slab_size": 24,
         "max_keyframes": 2048,
         "max_edges": 8192,
