@@ -46,6 +46,35 @@ _set_desc = jax.jit(lambda buf, i, row: buf.at[i].set(row), donate_argnums=0)
 def _ingest(descs, ring_keys, i, xyz, mask, lidar_height):
     d = sc.make_descriptor(xyz, mask, lidar_height)
     return descs.at[i].set(d), ring_keys.at[i].set(sc.ring_key(d))
+
+
+# Batched forms: a keyframe EVENT usually carries several new contexts (the
+# backend coalesces keyframes that landed since its last pass). One chunked
+# dispatch ingests/queries up to _CTX_CHUNK of them — fixed chunk shape so
+# only one program ever compiles; invalid lanes write row `cap` (the scatter
+# drop lane) / return idx -1.
+_CTX_CHUNK = 8
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _ingest_batch(descs, ring_keys, idxs, xyzs, masks, val, lidar_height):
+    d = jax.vmap(lambda x, m: sc.make_descriptor(x, m, lidar_height))(
+        xyzs, masks)                      # (B, 20, 60)
+    rows = jnp.where(val, idxs, descs.shape[0])  # invalid lanes -> drop
+    return (descs.at[rows].set(d, mode="drop"),
+            ring_keys.at[rows].set(sc.ring_key(d), mode="drop"))
+
+
+@partial(jax.jit, static_argnames=("num_candidates",))
+def _query_batch(descs, ring_keys, qids, val, num_exclude_recent, dist_thres,
+                 num_candidates: int = 10):
+    q = jax.vmap(lambda i: sc.query(descs, ring_keys, i, num_exclude_recent,
+                                    dist_thres,
+                                    num_candidates=num_candidates))(qids)
+    idx = jnp.where(val, q.idx, -1)
+    return jnp.stack([idx.astype(jnp.float32), q.yaw, q.min_dist], axis=1)
+
+
 # one packed fetch for query results (3 scalars -> 1 link round-trip)
 _pack_query = jax.jit(lambda q: jnp.stack(
     [q.idx.astype(jnp.float32), q.yaw, q.min_dist]))
@@ -74,6 +103,16 @@ class ContextBase:
 
     def query(self, qid: int) -> QueryResult:
         raise NotImplementedError
+
+    # batched forms — default to the scalar calls; device-database plugins
+    # override them to coalesce a keyframe event's contexts into single
+    # dispatches (each scalar call is a link round-trip)
+    def add_contexts(self, items) -> None:
+        for xyz, pose in items:
+            self.add_context(xyz, pose)
+
+    def query_many(self, qids) -> "list[QueryResult]":
+        return [self.query(q) for q in qids]
 
     # persistence hooks (stubs in the reference too, ContextBase.hpp:35-38)
     def save_context(self, path: str) -> None:
@@ -118,6 +157,51 @@ class ScanContext(ContextBase):
                      num_candidates=self.num_candidates)
         idx, yaw, min_dist = np.asarray(_pack_query(q))  # one fetch
         return QueryResult(int(idx), float(yaw), float(min_dist))
+
+    def add_contexts(self, items) -> None:
+        """Chunked batch ingest: one dispatch per _CTX_CHUNK new contexts."""
+        items = list(items)
+        for lo in range(0, len(items), _CTX_CHUNK):
+            chunk = items[lo: lo + _CTX_CHUNK]
+            idxs = np.zeros(_CTX_CHUNK, np.int32)
+            val = np.zeros(_CTX_CHUNK, bool)
+            xyzs = np.full((_CTX_CHUNK, self._pc_capacity, 3),
+                           pcops.PAD_COORD, np.float32)
+            masks = np.zeros((_CTX_CHUNK, self._pc_capacity), bool)
+            for c, (xyz, _pose) in enumerate(chunk):
+                if self.n_contexts >= self._cap:
+                    self.lg.error("context capacity (%d) exceeded!", self._cap)
+                    break
+                pc = pcops.from_numpy(xyz, self._pc_capacity)
+                idxs[c] = self.n_contexts
+                val[c] = True
+                xyzs[c] = np.asarray(pc.xyz)
+                masks[c] = np.asarray(pc.mask)
+                self.n_contexts += 1
+            self.descs, self.ring_keys = _ingest_batch(
+                self.descs, self.ring_keys, jnp.asarray(idxs),
+                jnp.asarray(xyzs), jnp.asarray(masks), jnp.asarray(val),
+                jnp.float32(self.lidar_height))
+
+    def query_many(self, qids) -> "list[QueryResult]":
+        """Chunked batch query: one dispatch + ONE fetch per _CTX_CHUNK ids."""
+        out: list[QueryResult] = []
+        for lo in range(0, len(qids), _CTX_CHUNK):
+            chunk = list(qids[lo: lo + _CTX_CHUNK])
+            ids = np.zeros(_CTX_CHUNK, np.int32)
+            val = np.zeros(_CTX_CHUNK, bool)
+            for c, q in enumerate(chunk):
+                ids[c] = q
+                val[c] = True
+            packed = np.asarray(_query_batch(
+                self.descs, self.ring_keys, jnp.asarray(ids),
+                jnp.asarray(val), jnp.int32(self.num_exclude_recent),
+                jnp.float32(self.dist_thres),
+                num_candidates=self.num_candidates))
+            for c in range(len(chunk)):
+                out.append(QueryResult(int(packed[c, 0]), float(packed[c, 1]),
+                                       float(packed[c, 2])))
+        return out
 
     @staticmethod
     def _npy_path(path: str) -> str:

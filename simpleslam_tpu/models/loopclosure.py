@@ -97,11 +97,11 @@ class LoopClosureManager:
     # -- context ingestion (LoopClosureManager.cpp:28-37; call under kf lock) --
     def add_context(self) -> None:
         kfs = self.kf_obj.keyframes
-        for i in range(self.context.n_contexts, len(kfs)):
-            xyz = native.voxel_downsample_first(kfs[i].xyz, self.context_ds)
-            self.context.add_context(xyz, kfs[i].pose)
-            if self.context.n_contexts != i + 1:
-                return  # capacity exceeded (plugin logged it)
+        n0 = self.context.n_contexts
+        items = [(native.voxel_downsample_first(kfs[i].xyz, self.context_ds),
+                  kfs[i].pose) for i in range(n0, len(kfs))]
+        if items:  # one chunked dispatch for the whole event's new contexts
+            self.context.add_contexts(items)
 
     # -- history submap (LoopClosureManager.cpp:40-60; call under kf lock) -----
     def _history_submap(self, key: int) -> np.ndarray:
@@ -118,8 +118,11 @@ class LoopClosureManager:
     def lc_handler_once(self) -> int:
         """Process all new contexts; returns the number of accepted closures."""
         accepted = 0
-        for i in range(self.lc_size, self.n_contexts):
-            q = self.context.query(i)
+        new_ids = list(range(self.lc_size, self.n_contexts))
+        # one chunked dispatch + fetch for ALL new contexts' retrievals
+        # (each scalar query costs a full link round-trip)
+        queries = self.context.query_many(new_ids)
+        for i, q in zip(new_ids, queries):
             old_key = q.idx
             if old_key < 0:
                 continue
