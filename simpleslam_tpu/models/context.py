@@ -48,21 +48,15 @@ def _ingest(descs, ring_keys, i, xyz, mask, lidar_height):
     return descs.at[i].set(d), ring_keys.at[i].set(sc.ring_key(d))
 
 
-# Batched forms: a keyframe EVENT usually carries several new contexts (the
-# backend coalesces keyframes that landed since its last pass). One chunked
-# dispatch ingests/queries up to _CTX_CHUNK of them — fixed chunk shape so
-# only one program ever compiles; invalid lanes write row `cap` (the scatter
-# drop lane) / return idx -1.
+# Batched retrieval: a keyframe EVENT usually carries several new contexts
+# (the backend coalesces keyframes that landed since its last pass), and each
+# scalar query costs a blocking link round-trip for its 3-scalar result. One
+# chunked dispatch + ONE fetch serves up to _CTX_CHUNK of them — fixed chunk
+# shape so only one program ever compiles; invalid lanes return idx -1.
+# Ingest stays scalar: its dispatches are async (nothing fetched), and a
+# padded batch upload would ship _CTX_CHUNK full clouds for an event that
+# typically adds two (measured: +140 ms/event of link transfer).
 _CTX_CHUNK = 8
-
-
-@partial(jax.jit, donate_argnums=(0, 1))
-def _ingest_batch(descs, ring_keys, idxs, xyzs, masks, val, lidar_height):
-    d = jax.vmap(lambda x, m: sc.make_descriptor(x, m, lidar_height))(
-        xyzs, masks)                      # (B, 20, 60)
-    rows = jnp.where(val, idxs, descs.shape[0])  # invalid lanes -> drop
-    return (descs.at[rows].set(d, mode="drop"),
-            ring_keys.at[rows].set(sc.ring_key(d), mode="drop"))
 
 
 @partial(jax.jit, static_argnames=("num_candidates",))
@@ -157,31 +151,6 @@ class ScanContext(ContextBase):
                      num_candidates=self.num_candidates)
         idx, yaw, min_dist = np.asarray(_pack_query(q))  # one fetch
         return QueryResult(int(idx), float(yaw), float(min_dist))
-
-    def add_contexts(self, items) -> None:
-        """Chunked batch ingest: one dispatch per _CTX_CHUNK new contexts."""
-        items = list(items)
-        for lo in range(0, len(items), _CTX_CHUNK):
-            chunk = items[lo: lo + _CTX_CHUNK]
-            idxs = np.zeros(_CTX_CHUNK, np.int32)
-            val = np.zeros(_CTX_CHUNK, bool)
-            xyzs = np.full((_CTX_CHUNK, self._pc_capacity, 3),
-                           pcops.PAD_COORD, np.float32)
-            masks = np.zeros((_CTX_CHUNK, self._pc_capacity), bool)
-            for c, (xyz, _pose) in enumerate(chunk):
-                if self.n_contexts >= self._cap:
-                    self.lg.error("context capacity (%d) exceeded!", self._cap)
-                    break
-                pc = pcops.from_numpy(xyz, self._pc_capacity)
-                idxs[c] = self.n_contexts
-                val[c] = True
-                xyzs[c] = np.asarray(pc.xyz)
-                masks[c] = np.asarray(pc.mask)
-                self.n_contexts += 1
-            self.descs, self.ring_keys = _ingest_batch(
-                self.descs, self.ring_keys, jnp.asarray(idxs),
-                jnp.asarray(xyzs), jnp.asarray(masks), jnp.asarray(val),
-                jnp.float32(self.lidar_height))
 
     def query_many(self, qids) -> "list[QueryResult]":
         """Chunked batch query: one dispatch + ONE fetch per _CTX_CHUNK ids."""
