@@ -96,10 +96,11 @@ def run_config(name, cfg, streams, sim, app, run_streamed, warmup, probe_n):
         },
     }
     if cfg.get("frontend", {}).get("pcr", "loam") == "loam":
+        slab_pts = int(tpu_cfg.get("loam_slab_size", 24))
         cost = roofline.loam_batch_cost(
-            n_queries=int(tpu_cfg.get("kf_capacity", 8192)), slab_rows=8,
-            lane_width=128,
-            slab_pts=int(tpu_cfg.get("loam_slab_size", 24)),
+            n_queries=result.extras["scan_capacity"], slab_rows=1,
+            lane_width=8 * slab_pts * 3,
+            slab_pts=slab_pts,
             n_scans=sync_every,
             mean_iters=result.extras["gn_iters_mean"],
             mean_gathers=result.extras["gn_gathers_mean"])
@@ -107,6 +108,13 @@ def run_config(name, cfg, streams, sim, app, run_streamed, warmup, probe_n):
             "gflops_per_batch": round(cost["flops"] / 1e9, 2),
             "hbm_gb_per_batch": round(cost["hbm_bytes"] / 1e9, 3),
             **roofline.utilization(cost, dev_s),
+        }
+    out["scan_capacity"] = result.extras["scan_capacity"]
+    if system.backend is not None:
+        out["lc"] = {
+            "accepted_edges": system.backend.n_lc_edges,
+            "dropped_closures": (system.loop_closure.dropped_closures
+                                 if system.loop_closure is not None else 0),
         }
     return out
 

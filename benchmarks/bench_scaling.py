@@ -89,16 +89,20 @@ def virtual_curve_worker(payload: dict) -> None:
         if n > len(devs):
             break
         mesh = Mesh(np.asarray(devs[:n]), ("kf",))
-        fn = sharded_solve(mesh, axis="kf", max_iters=payload["max_iters"],
-                           cg_iters=payload["cg_iters"])
-        res = fn(g)
-        res.poses.block_until_ready()
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            fn(g).poses.block_until_ready()
-            ts.append(time.perf_counter() - t0)
-        out[str(n)] = round(min(ts), 4)
+        for shard_cg in (False, True):
+            fn = sharded_solve(mesh, axis="kf",
+                               max_iters=payload["max_iters"],
+                               cg_iters=payload["cg_iters"],
+                               shard_cg=shard_cg)
+            res = fn(g)
+            res.poses.block_until_ready()
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn(g).poses.block_until_ready()
+                ts.append(time.perf_counter() - t0)
+            key = str(n) if not shard_cg else f"{n}_shard_cg"
+            out[key] = round(min(ts), 4)
     print(json.dumps(out))
 
 
@@ -120,6 +124,22 @@ def virtual_curve(k: int, reps: int) -> dict:
     return {"times_s": times,
             "overhead_frac": {n: round(t / t1 - 1.0, 3)
                               for n, t in times.items() if n != "1"}}
+
+
+def _pg_mode(tag: str, payload: dict, n_max: int, per_coll: float,
+             n_coll: int) -> dict:
+    """Run one pose-graph mode at 1 and n_max hosts; efficiency summary."""
+    pg = {}
+    pg["1"] = run(PG_WORKER, 1, payload)
+    pg[str(n_max)] = run(PG_WORKER, n_max, payload)
+    t1, tn = pg["1"]["best_s"], pg[str(n_max)]["best_s"]
+    coll_s = n_coll * per_coll
+    pg["n_collectives"] = n_coll
+    pg["collective_s"] = round(coll_s, 4)
+    pg["measured_efficiency"] = round(t1 / (n_max * tn), 3)
+    pg["compute_efficiency"] = round(t1 / (n_max * max(tn - coll_s, 1e-9)), 3)
+    pg["mode"] = tag
+    return pg
 
 
 def main() -> int:
@@ -145,18 +165,20 @@ def main() -> int:
     per_coll = probe[0]["per_psum_s"]
     out["per_collective_ms"] = round(per_coll * 1e3, 3)
 
-    # --- pose-graph solve ----------------------------------------------------
-    pg = {}
-    pg["1"] = run(PG_WORKER, 1, pg_payload)
-    pg[str(n_max)] = run(PG_WORKER, n_max, pg_payload)
-    n_coll = 1 + LM_ITERS  # one all_gather per linearization (ops/posegraph.py)
-    t1, tn = pg["1"]["best_s"], pg[str(n_max)]["best_s"]
-    coll_s = n_coll * per_coll
-    pg["n_collectives"] = n_coll
-    pg["collective_s"] = round(coll_s, 4)
-    pg["measured_efficiency"] = round(t1 / (n_max * tn), 3)
-    pg["compute_efficiency"] = round(t1 / (n_max * max(tn - coll_s, 1e-9)), 3)
-    out["posegraph"] = pg
+    # --- pose-graph solve: both distribution modes ---------------------------
+    # replicated CG: 1 + lm_iters collectives; sharded CG: the matvec psums
+    # per CG iteration (~lm_iters * (2 + cg_iters)) but replicates no O(E)
+    # work. Which wins depends on link latency — both are measured, the
+    # better raw number is the headline.
+    pg_rep = _pg_mode("replicated_cg", pg_payload, n_max, per_coll,
+                      1 + LM_ITERS)
+    pg_shard = _pg_mode(
+        "sharded_cg", {**pg_payload, "shard_cg": True}, n_max, per_coll,
+        (1 + LM_ITERS) + LM_ITERS * (1 + CG_ITERS))
+    best = max(pg_rep, pg_shard, key=lambda p: p["measured_efficiency"])
+    out["posegraph"] = dict(best)
+    out["posegraph_modes"] = {"replicated_cg": pg_rep,
+                              "sharded_cg": pg_shard}
 
     # --- single-process virtual-device curve (sharding overhead only) -------
     out["posegraph_virtual_devices"] = virtual_curve(k, reps)

@@ -37,7 +37,8 @@ from ..utils.config import Params
 # ---------------------------------------------------------------------------
 
 def register_kind(ds: PointCloud, target: Any, init_pose: jax.Array,
-                  kind: str, degen=0.0, reduce_fn=None):
+                  kind: str, degen=0.0, reduce_fn=None,
+                  rmax_reduce_fn=None):
     """Trace-time dispatch to the configured backend:
     (pose, conv, fitness, iters, gathers).
 
@@ -53,7 +54,8 @@ def register_kind(ds: PointCloud, target: Any, init_pose: jax.Array,
     fit = jnp.float32(0.0)
     if kind == "loam":
         res = loam_ops.gn_loop(ds, target, init_pose, reduce_fn=reduce_fn,
-                               degen_per_row=degen)
+                               degen_per_row=degen,
+                               rmax_reduce_fn=rmax_reduce_fn)
         pose, conv, gathers = res.pose, res.converged, res.n_gathers
     elif kind == "ndt":
         res = ndt_ops.align(ds, target, init_pose)
@@ -212,14 +214,17 @@ class LoamRegister(PointCloudRegister):
     # the gather transactions are the dominant device cost of registration
     TARGET_GRID = 2.0
 
-    def build_target(self, submap: PointCloud, origin: jax.Array) -> vox.DenseVoxelMap:
+    def build_target(self, submap: PointCloud, origin: jax.Array) -> vox.MergedDenseVoxelMap:
         # dense window around the submap anchor: lookup is index arithmetic,
         # not key search (searchsorted costs ~30 ms per GN iteration on real
         # TPU hardware; see ops/voxel.py). Window extent matches the
         # config's 1 m-grid dims, so halve the voxel counts at grid 2.0.
+        # The 2x2x2 neighborhoods are pre-MERGED at build time so each
+        # registration query costs ONE HBM row transaction (the gather is
+        # transaction-bound — voxel.MergedDenseVoxelMap rationale).
         dims = tuple(max(int(d) // 2, 1)
                      for d in self.tpu_cfg["dense_grid_dims"])
-        return vox.build_dense_voxel_map(
+        return vox.build_merged_dense_voxel_map(
             submap,
             self.TARGET_GRID,
             origin,

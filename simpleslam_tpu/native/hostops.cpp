@@ -118,6 +118,10 @@ int64_t voxel_downsample_centroid_pad(const float* xyz, int64_t n, float grid,
     // measures ~3.5x faster on the same scans).
     struct Entry {
         int64_t key;      // voxel key, valid when cnt > 0
+        // float (not double) accumulators keep the entry at one 32-byte
+        // cache line; safe because cnt <= max_pts bounds the sum to a few
+        // tens of same-voxel (therefore similar-magnitude) coordinates —
+        // callers raising max_pts past ~100 should widen these to double.
         float sx, sy, sz; // coordinate sum over the first <= max_pts points
         int32_t cnt;
         int32_t first;    // first-seen input index (output ordering)
@@ -155,6 +159,7 @@ int64_t voxel_downsample_centroid_pad(const float* xyz, int64_t n, float grid,
                     while (tab[g].cnt) g = (g + 1) & mask;
                     tab[g] = oe;
                 }
+                continue;  // `e` references the swapped-out table: dead here
             }
         } else if (e.cnt < max_pts) {
             e.sx += p[0]; e.sy += p[1]; e.sz += p[2];

@@ -66,17 +66,107 @@ MAX_THICKNESS_EV = 2e-2
 def gather_candidates(src: PointCloud, vm: VoxelMap, pose: jax.Array):
     """Neighborhood candidate gather at ``pose`` — the HBM-heavy half.
 
-    dense grid = corner-selected 2x2x2 gather (8 HBM rows/query; requires
-    the map built with grid >= 2 * sqrt(MAX_SEARCH_SQ) — LoamRegister uses
-    grid 2.0); sorted table = 27-cell key search (kept for the sharded/dp
-    path which shards the compact table).
+    merged dense grid = pre-merged 2x2x2 rows, ONE HBM row per query (the
+    production target — see voxel.MergedDenseVoxelMap); dense grid =
+    corner-selected 2x2x2 gather (8 rows/query; both require the map built
+    with grid >= 2 * sqrt(MAX_SEARCH_SQ) — LoamRegister uses grid 2.0);
+    sorted table = 27-cell key search (kept for the sharded/dp path which
+    shards the compact table).
     """
+    from .voxel import MergedDenseVoxelMap
+
     p_map = geo.transform_points(pose, src.xyz)
+    if isinstance(vm, MergedDenseVoxelMap):
+        from .voxel import gather_neighbors_merged
+        return gather_neighbors_merged(vm, p_map, src.mask)
     if isinstance(vm, DenseVoxelMap):
         from .voxel import gather_neighbors_corner
         return gather_neighbors_corner(vm, p_map, src.mask)
     from .voxel import gather_neighbors
     return gather_neighbors(vm, p_map, src.mask, 1)
+
+
+class Planes(NamedTuple):
+    """Per-query frozen plane set (see ``fit_planes``)."""
+
+    centroid: jax.Array  # (Q, 3)
+    normal: jax.Array    # (Q, 3) unit
+    ok: jax.Array        # (Q,) bool — 5-NN gate & eigen gates & residual gate
+
+
+def fit_planes(src: PointCloud, cand: jax.Array, cand_ok: jax.Array,
+               pose: jax.Array) -> Planes:
+    """5-NN selection + plane fit — the pose-INDEPENDENT half of the GN
+    linearization, evaluated once per candidate gather.
+
+    Key observation behind the round-4 hot-loop redesign: the fitted plane
+    depends only on the 5 selected TARGET points, and the selection is made
+    against the pose the candidates were gathered at — so between gather
+    refreshes (REGATHER_DIST) the plane set is constant and each GN
+    iteration only needs the (Q, 6) residual/Jacobian work
+    (``plane_normal_equations``). The reference re-runs its kd-tree 5-NN and
+    QR plane fit every iteration (LoamRegister.cpp:122-164) because both are
+    cheap per-point on CPU; on TPU the (Q, C) selection passes were ~60 % of
+    device time (benchmarks/bench_attrib.py: 1.17 ms/iteration at 8192x192)
+    while the frozen-plane iteration is ~0.05 ms. Accuracy is unchanged
+    within the cached-gather contract: the pose moves millimeters between
+    iterations, and any move beyond REGATHER_DIST refreshes gather AND fit.
+
+    Selection/fit semantics are identical to
+    ``normal_equations_from_candidates`` (same argmin rounds, same gates).
+    """
+    p_map = geo.transform_points(pose, src.xyz)
+    d2 = jnp.sum((cand - p_map[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(cand_ok, d2, jnp.inf)
+
+    w5 = jnp.zeros_like(d2)
+    d_k = jnp.zeros((d2.shape[0],), d2.dtype)
+    dd = d2
+    n_c = d2.shape[1]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    for _ in range(PLANE_PTS):
+        d_k = jnp.min(dd, axis=1)
+        hit = (dd == d_k[:, None]) & jnp.isfinite(d_k)[:, None]
+        first = jnp.min(jnp.where(hit, iota_c, n_c), axis=1)
+        hit = hit & (iota_c == first[:, None])
+        w5 = w5 + hit.astype(w5.dtype)
+        dd = jnp.where(hit, jnp.inf, dd)
+    gate = src.mask & (d_k < MAX_SEARCH_SQ) & (
+        jnp.sum(w5, axis=1) >= PLANE_PTS)
+
+    centroid = jnp.einsum("nc,nci->ni", w5, cand) / PLANE_PTS
+    Bc = cand - centroid[:, None, :]
+    Bw = Bc * w5[..., None]
+    M = jnp.einsum("nci,ncj->nij", Bw, Bc)
+    lam, n_hat = symeig3x3_smallest(M)
+    fit_ok = (lam[:, 1] > MIN_PLANAR_EV) & (lam[:, 0] < MAX_THICKNESS_EV)
+
+    resid = jnp.einsum("nci,ni->nc", Bw, n_hat)
+    plane_ok = jnp.max(jnp.abs(resid), axis=1) <= PLANE_VALID_THRESH
+    return Planes(centroid, n_hat, gate & fit_ok & plane_ok)
+
+
+def plane_normal_equations(src: PointCloud, planes: Planes, pose: jax.Array):
+    """The pose-DEPENDENT half of the linearization: point-to-plane
+    residuals, distance weights, J^T J / J^T e against a frozen plane set.
+    Pure (Q, 6) work — no candidate-axis tensors. Weight/validity semantics
+    match the reference exactly (recomputed every iteration,
+    LoamRegister.cpp:166-176)."""
+    p_map = geo.transform_points(pose, src.xyz)
+    d = jnp.einsum("ni,ni->n", p_map - planes.centroid, planes.normal)
+    src_range = jnp.linalg.norm(src.xyz, axis=-1)
+    s = 1.0 - 0.9 * jnp.abs(d) / jnp.sqrt(jnp.maximum(src_range, 1e-6))
+    valid = planes.ok & (s > POINT_VALID_THRESH)
+
+    J_pt = geo.j_se3(p_map)  # (N, 3, 6)
+    J_row = s[:, None] * jnp.einsum("ni,nij->nj", planes.normal, J_pt)
+    e = s * d
+    w = valid.astype(J_row.dtype)
+    Jw = J_row * w[:, None]
+    JtJ = jnp.einsum("ni,nj->ij", Jw, J_row, preferred_element_type=jnp.float32)
+    JtE = jnp.einsum("ni,n->i", Jw, e, preferred_element_type=jnp.float32)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    return JtJ, JtE, n_valid
 
 
 def normal_equations_from_candidates(src: PointCloud, cand: jax.Array,
@@ -190,73 +280,47 @@ REGATHER_DIST = 0.2
 DEGEN_EIGEN_PER_ROW = 0.02
 
 
-def _pallas_enabled(src: PointCloud) -> bool:
-    """Trace-time choice of the fused pallas linearization.
-
-    On TPU the post-gather linearization runs as ONE pallas kernel
-    (ops/loam_pallas.py) instead of ~10 XLA fusions re-reading the candidate
-    tiles from HBM (measured: 16-scan batch 68.9 -> 43.3 ms at production
-    shapes, final poses bit-identical). CPU (tests, virtual-mesh dryruns)
-    keeps the jnp path — pallas interpret mode is only used by the parity
-    tests.
-
-    Default OFF under the axon remote-compile harness
-    (PALLAS_AXON_REMOTE_COMPILE set): there the Mosaic kernel is compiled
-    server-side on EVERY process start with no client cache — measured 4.9 s
-    for the standalone kernel but 175 s-to-never when embedded in the
-    scan-chain program — so the reliable XLA path wins on that access path.
-    SIMPLESLAM_PALLAS=1/0 overrides in both directions.
-    """
-    import os
-
-    flag = os.environ.get("SIMPLESLAM_PALLAS", "")
-    if flag == "0":
-        return False
-    if src.xyz.shape[0] % 128 != 0:
-        return False
-    if jax.default_backend() != "tpu":
-        return False
-    if flag != "1" and os.environ.get("PALLAS_AXON_REMOTE_COMPILE"):
-        return False
-    return True
-
-
 def gn_loop(src: PointCloud, vm: VoxelMap, init_pose: jax.Array,
             max_iters: int = MAX_ITERS, reduce_fn=None,
-            degen_per_row=0.0) -> LoamResult:
+            degen_per_row=0.0, rmax_reduce_fn=None) -> LoamResult:
     """The full GN loop (trace-time body, shared by the single-chip and
     sharded paths). ``reduce_fn``, when given, reduces (JtJ, JtE, n_valid)
-    across shards (e.g. one fused ICI psum) — the gather cache keeps the
-    refresh decision replicated because pose/anchor are replicated.
-    ``degen_per_row`` > 0 enables the degeneracy guard (see
-    DEGEN_EIGEN_PER_ROW above).
+    across shards (e.g. one fused ICI psum); ``rmax_reduce_fn`` must then
+    pmax the max source range so every shard sees the SAME regather
+    schedule — the frozen plane set is refit at the gather pose, so a
+    shard-local refresh decision would make shards linearize against
+    differently-timed fits. ``degen_per_row`` > 0 enables the degeneracy
+    guard (see DEGEN_EIGEN_PER_ROW above).
+
+    Structure (round-4 redesign): each candidate gather is immediately
+    reduced to a frozen per-query plane set (``fit_planes``) — the (Q, C)
+    candidate tensor never enters the loop carry, and each GN iteration is
+    only the (Q, 6) ``plane_normal_equations`` work. The previous design
+    carried the raw candidates and re-ran selection+fit every iteration;
+    at production shapes that was ~1.2 ms/iteration of VPU passes vs
+    ~0.05 ms now (benchmarks/bench_attrib.py). The fused-pallas alternative
+    (ops/loam_pallas.py) attacked the same cost but is unusable on the axon
+    access path (375 s Mosaic compile per process, persistent-cache miss —
+    measured round 4); freezing the fit removes the need for it.
     """
-    use_pallas = _pallas_enabled(src)
 
-    def _gather(pose):
+    def _fit(pose):
         cand, ok = gather_candidates(src, vm, pose)
-        if use_pallas:  # (3, C, Q) / (C, Q) — the kernel's lane-major layout
-            return jnp.transpose(cand, (2, 1, 0)), ok.T.astype(jnp.float32)
-        return cand, ok
-
-    def _normal_eq(cand, ok, pose):
-        if use_pallas:
-            from . import loam_pallas
-
-            return loam_pallas.normal_equations_t(src, cand, ok, pose)
-        return normal_equations_from_candidates(src, cand, ok, pose)
+        return fit_planes(src, cand, ok, pose)
 
     pose0 = init_pose.astype(jnp.float32)
-    cand0, ok0 = _gather(pose0)
+    planes0 = _fit(pose0)
     r_max = jnp.max(jnp.where(src.mask,
                               jnp.linalg.norm(src.xyz, axis=-1), 0.0))
+    if rmax_reduce_fn is not None:
+        r_max = rmax_reduce_fn(r_max)
 
     def cond(carry):
-        pose, anchor, cand, ok, it, converged, failed, _, _ = carry
+        pose, anchor, planes, it, converged, failed, _, _ = carry
         return (it < max_iters) & (~converged) & (~failed)
 
     def body(carry):
-        pose, anchor, cand, ok, it, converged, failed, _, gathers = carry
+        pose, anchor, planes, it, converged, failed, _, gathers = carry
         # refresh the cached gather when accumulated motion erodes coverage
         dt = jnp.linalg.norm(pose[:3, 3] - anchor[:3, 3])
         cos_a = (jnp.trace(anchor[:3, :3].T @ pose[:3, :3]) - 1.0) * 0.5
@@ -264,15 +328,14 @@ def gn_loop(src: PointCloud, vm: VoxelMap, init_pose: jax.Array,
         moved = dt + r_max * dth
 
         def refresh(_):
-            c, o = _gather(pose)
-            return c, o, pose, gathers + 1
+            return _fit(pose), pose, gathers + 1
 
         def keep(_):
-            return cand, ok, anchor, gathers
+            return planes, anchor, gathers
 
-        cand, ok, anchor, gathers = jax.lax.cond(
+        planes, anchor, gathers = jax.lax.cond(
             moved > REGATHER_DIST, refresh, keep, None)
-        JtJ, JtE, n_valid = _normal_eq(cand, ok, pose)
+        JtJ, JtE, n_valid = plane_normal_equations(src, planes, pose)
         if reduce_fn is not None:
             JtJ, JtE, n_valid = reduce_fn(JtJ, JtE, n_valid)
         enough = n_valid >= MIN_VALID_ROWS
@@ -298,21 +361,20 @@ def gn_loop(src: PointCloud, vm: VoxelMap, init_pose: jax.Array,
         new_pose = jnp.where(
             conv | ~enough, pose, geo.pose_compose(geo.se3_exp(dx), pose)
         )
-        return (new_pose, anchor, cand, ok, it + 1, conv & enough, ~enough,
+        return (new_pose, anchor, planes, it + 1, conv & enough, ~enough,
                 n_valid, gathers)
 
     init = (
         pose0,
         pose0,
-        cand0,
-        ok0,
+        planes0,
         jnp.int32(0),
         jnp.array(False),
         jnp.array(False),
         jnp.int32(0),
         jnp.int32(1),
     )
-    pose, _, _, _, iters, converged, _, n_valid, gathers = jax.lax.while_loop(
+    pose, _, _, iters, converged, _, n_valid, gathers = jax.lax.while_loop(
         cond, body, init)
     pose = geo.reorthonormalize(pose)
     return LoamResult(pose, converged, iters, n_valid, gathers)

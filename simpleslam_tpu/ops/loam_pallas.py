@@ -1,13 +1,25 @@
 """Pallas TPU kernel: the fused LOAM GN linearization.
 
-One GN iteration of ``ops/loam.py`` spends ~0.9 ms/iteration spread over ~10
-XLA fusions (measured via jax.profiler at production shapes: 5 argmin-round
-passes over the (8192, 192) distance matrix, the plane-fit einsums, the
-normal-equation reductions), every one of them re-reading the (Q, C) tile
-set from HBM. This kernel fuses the ENTIRE post-gather linearization —
-5-NN selection, centered-scatter plane fit (closed-form 3x3 eigensolve),
-validity gates, and the J^T J / J^T e reduction — into ONE pass: candidates
-are read once per iteration and never round-trip to HBM again.
+STATUS (round 4): off the production hot path. The gn_loop redesign
+(loam.fit_planes — the 5-NN selection + plane fit is pose-independent, so
+it runs once per gather instead of once per iteration) removed the
+per-iteration (Q, C) passes this kernel fused; what remains per iteration
+is ~0.05 ms of (Q, 6) work XLA handles well. On the axon remote-compile
+access path the kernel is additionally unusable: the Mosaic compile takes
+375 s per process and MISSES the persistent compilation cache (measured
+round 4 — a warm-cache fresh process still exceeded a 300 s timeout), so
+the bench could never run it. It is kept as the reference one-pass
+linearization for direct-attach deployments (where Mosaic caches normally)
+with CPU interpret-mode parity tests (tests/test_loam_pallas.py).
+
+One GN iteration of the PRE-redesign ``ops/loam.py`` spent ~1.2 ms spread
+over ~10 XLA fusions (5 argmin-round passes over the (8192, 192) distance
+matrix, the plane-fit einsums, the normal-equation reductions), every one
+re-reading the (Q, C) tile set from HBM. This kernel fuses the ENTIRE
+post-gather linearization — 5-NN selection, centered-scatter plane fit
+(closed-form 3x3 eigensolve), validity gates, and the J^T J / J^T e
+reduction — into ONE pass: candidates are read once and never round-trip
+to HBM again.
 
 Layout: queries ride the LANE axis (128/block), candidates the SUBLANE axis
 (C rows), so per-query scalars are natural (1, 128) rows, candidate
@@ -198,9 +210,13 @@ def normal_equations_t(src: PointCloud, cand_t: jax.Array, ok_t: jax.Array,
                        pose: jax.Array, interpret: bool = False):
     """Fused GN linearization on transposed candidates.
 
-    ``cand_t`` is (3, C, Q), ``ok_t`` (C, Q) float 0/1 — the layout
-    ``gather_candidates_t`` produces. Returns (JtJ (6,6), JtE (6,),
-    n_valid ()) identical to ``loam.normal_equations_from_candidates``.
+    ``cand_t`` is (3, C, Q), ``ok_t`` (C, Q) float 0/1 — i.e.
+    ``loam.gather_candidates`` output transposed to the kernel's lane-major
+    layout (queries on lanes): ``cand.transpose(2, 1, 0)`` / ``ok.T``.
+    Returns (JtJ (6,6), JtE (6,), n_valid ()) matching
+    ``loam.normal_equations_from_candidates`` within f32 tolerance (the
+    kernel uses a polynomial acos and a different reduction order, so
+    bit-identity cannot hold; converged poses matched in testing).
     ``interpret=True`` runs the kernel in pallas interpret mode (CPU tests).
     """
     from . import geometry as geo

@@ -145,13 +145,24 @@ class _Lin(NamedTuple):
 
 
 def _linearize_full(g: PoseGraph, poses: jax.Array,
-                    axis: str | None = None) -> _Lin:
+                    axis: str | None = None,
+                    shard_cg: bool = False) -> _Lin:
     """Linearize + assemble the block-sparse normal equations.
 
     With ``axis`` set (inside shard_map, edge tensors sharded), the per-edge
-    work runs on this shard only and the compact per-edge summary rides ONE
-    ``all_gather`` — the solver's only collective. The prior (replicated) is
-    added after the gather, exactly once.
+    work runs on this shard only. Two distribution modes:
+
+    - replicated CG (``shard_cg=False``): the compact per-edge summary rides
+      ONE ``all_gather`` and every device holds the full block-sparse system
+      — the solver's only collective, the right trade on high-latency links.
+    - sharded CG (``shard_cg=True``): the off-diagonal blocks STAY on their
+      shard; only the already-reduced (K, 6) gradient, (K, 6, 6) block
+      diagonal and chi2 ride ONE fused ``psum`` — the CG matvec then psums
+      its off-diagonal contribution per iteration (``_make_hvp``). Right
+      when collectives are cheap relative to O(E) compute (ICI, or the
+      virtual-device harness where replicated work burns shared cores).
+
+    The prior (replicated) is added after the reduction, exactly once.
     """
     gg = g._replace(poses=poses)
     r, Ji, Jj = _linearize_edges(gg)
@@ -165,7 +176,7 @@ def _linearize_full(g: PoseGraph, poses: jax.Array,
     gj = jnp.einsum("eab,ea->eb", wj, r)
     chi2 = jnp.sum(r * r * gg.edge_info, axis=1)
     ei, ej = gg.edge_i, gg.edge_j
-    if axis is not None:
+    if axis is not None and not shard_cg:
         packed = jnp.concatenate([
             bii.reshape(-1, 36), bjj.reshape(-1, 36), bij.reshape(-1, 36),
             gi, gj, chi2[:, None],
@@ -186,29 +197,45 @@ def _linearize_full(g: PoseGraph, poses: jax.Array,
     grad = grad + jax.ops.segment_sum(gj, ej, num_segments=K)
     diag = jax.ops.segment_sum(bii, ei, num_segments=K)
     diag = diag + jax.ops.segment_sum(bjj, ej, num_segments=K)
+    cost = jnp.sum(chi2)
+    if axis is not None and shard_cg:
+        cost_col = jnp.zeros((K, 1), grad.dtype).at[0, 0].set(cost)
+        packed = jnp.concatenate([grad, diag.reshape(K, 36), cost_col],
+                                 axis=1)                       # (K, 43)
+        packed = jax.lax.psum(packed, axis)
+        grad = packed[:, :6]
+        diag = packed[:, 6:42].reshape(K, 6, 6)
+        cost = packed[0, 42]
     wp = Jp * g.prior_info[:, None]
     grad = grad.at[0].add(jnp.einsum("ab,a->b", wp, rp))
     diag = diag.at[0].add(jnp.einsum("ab,ac->bc", wp, Jp))
-    cost = jnp.sum(chi2) + jnp.sum(rp * rp * g.prior_info)
+    cost = cost + jnp.sum(rp * rp * g.prior_info)
     return _Lin(cost, grad, diag, bij, ei, ej)
 
 
-def _make_hvp(lin: _Lin, lam):
-    """(H + lambda diag(H)) v from the replicated block-sparse form.
+def _make_hvp(lin: _Lin, lam, axis: str | None = None,
+              shard_cg: bool = False):
+    """(H + lambda diag(H)) v from the block-sparse form.
 
-    Collective-free: the diagonal blocks (incl. prior) act directly; the
-    off-diagonal blocks contribute H[i,j] v_j at i and H[i,j]^T v_i at j.
+    Replicated mode: collective-free — the diagonal blocks (incl. prior) act
+    directly; the off-diagonal blocks contribute H[i,j] v_j at i and
+    H[i,j]^T v_i at j. Sharded mode: the off-diagonal blocks are this
+    shard's partition, so their contribution rides one (K, 6) ``psum``; the
+    (replicated) diagonal and damping act locally after the reduction so
+    they are summed exactly once.
     """
     K = lin.grad.shape[0]
     damp = lam * jnp.diagonal(lin.diag, axis1=-2, axis2=-1)  # (K, 6)
     damp = jnp.maximum(damp, lam * 1e-6)
 
     def hvp(v):  # v: (K, 6)
-        out = jnp.einsum("kab,kb->ka", lin.diag, v)
         ui = jnp.einsum("eab,eb->ea", lin.bij, v[lin.ej])    # at i
         uj = jnp.einsum("eab,ea->eb", lin.bij, v[lin.ei])    # at j (B^T v_i)
-        out = out + jax.ops.segment_sum(ui, lin.ei, num_segments=K)
-        out = out + jax.ops.segment_sum(uj, lin.ej, num_segments=K)
+        off = jax.ops.segment_sum(ui, lin.ei, num_segments=K)
+        off = off + jax.ops.segment_sum(uj, lin.ej, num_segments=K)
+        if axis is not None and shard_cg:
+            off = jax.lax.psum(off, axis)
+        out = jnp.einsum("kab,kb->ka", lin.diag, v) + off
         return out + damp * v
 
     return hvp
@@ -257,24 +284,44 @@ def _pcg(hvp, b, precond_inv, mask, iters: int, tol: float = 1e-8,
 
 
 def solve_impl(g: PoseGraph, max_iters: int = 10, cg_iters: int = 64,
-               lambda0: float = 1e-4, axis: str | None = None) -> SolveResult:
+               lambda0: float = 1e-4, axis: str | None = None,
+               shard_cg: bool = False) -> SolveResult:
     """Levenberg-Marquardt with PCG inner solves (trace-time body).
 
     Per LM iteration: solve the damped normal equations of the CARRIED
-    linearization by (collective-free) PCG, apply the trial update
-    ``T_k exp(dx_k)``, then linearize AT THE TRIAL — one fused
-    linearize+cost evaluation, i.e. one collective — and accept iff the chi2
-    drops (lambda /= 4, keep the trial's linearization) else reject
-    (lambda *= 8, keep the carried one). Matches iSAM2's role — a few fast
-    damped GN steps warm-started from the current estimate — without its
-    Bayes-tree machinery.
+    linearization by PCG, apply the trial update ``T_k exp(dx_k)``, then
+    linearize AT THE TRIAL — one fused linearize+cost evaluation — and
+    accept iff the chi2 drops (lambda /= 4, keep the trial's linearization)
+    else reject (lambda *= 8, keep the carried one). Matches iSAM2's role —
+    a few fast damped GN steps warm-started from the current estimate —
+    without its Bayes-tree machinery.
 
     With ``axis`` set this runs SPMD inside shard_map: edge tensors are this
-    shard's partition, poses replicated, and each linearization's all_gather
-    is the ONLY collective per LM iteration (see ``_linearize_full``).
+    shard's partition, poses replicated. ``shard_cg`` picks the
+    distribution mode (see ``_linearize_full``): False = replicated CG,
+    1 + lm_iters collectives per solve (high-latency links); True = the CG
+    matvec, block-Jacobi inversion and linearize reductions are all sharded
+    — collectives per solve grow to ~lm_iters * (2 + cg_iters) but NO O(E)
+    or O(K) dense work is replicated, which is what scales on ICI meshes
+    (and on the shared-core virtual-device harness, where replicated work
+    multiplies real CPU load — the round-3 curve inverted past N=2 for
+    exactly that reason).
     """
     eye = jnp.broadcast_to(jnp.eye(6, dtype=g.poses.dtype), (g.poses.shape[0], 6, 6))
-    lin0 = _linearize_full(g, g.poses, axis)
+    lin0 = _linearize_full(g, g.poses, axis, shard_cg)
+    K = g.poses.shape[0]
+    n_dev = (jax.lax.axis_size(axis) if axis is not None and shard_cg
+             else 1)
+
+    def _precond_inv(damped_diag):
+        if axis is None or not shard_cg or K % n_dev != 0 or n_dev == 1:
+            return jnp.linalg.inv(damped_diag)
+        # shard the K 6x6 inversions over the mesh, one tiled all_gather
+        me = jax.lax.axis_index(axis)
+        kn = K // n_dev
+        sl = jax.lax.dynamic_slice_in_dim(damped_diag, me * kn, kn)
+        return jax.lax.all_gather(jnp.linalg.inv(sl), axis, axis=0,
+                                  tiled=True)
 
     def lm_body(carry):
         poses, lam, lin, it, accepted = carry
@@ -282,14 +329,14 @@ def solve_impl(g: PoseGraph, max_iters: int = 10, cg_iters: int = 64,
             lin.diag * jnp.broadcast_to(jnp.eye(6, dtype=lin.diag.dtype),
                                         lin.diag.shape)
         ) + 1e-8 * eye
-        precond_inv = jnp.linalg.inv(damped_diag)
-        hvp = _make_hvp(lin, lam)
+        precond_inv = _precond_inv(damped_diag)
+        hvp = _make_hvp(lin, lam, axis, shard_cg)
         dx = _pcg(hvp, -lin.grad, precond_inv, g.kf_mask, cg_iters)
 
         trial = geo.pose_compose(poses, geo.se3_exp(dx))
         trial = geo.reorthonormalize(trial)
         trial = jnp.where(g.kf_mask[:, None, None], trial, poses)
-        lin_t = _linearize_full(g, trial, axis)
+        lin_t = _linearize_full(g, trial, axis, shard_cg)
         accept = lin_t.cost < lin.cost
         poses = jnp.where(accept, trial, poses)
         lin = jax.tree_util.tree_map(

@@ -8,12 +8,13 @@ hardware's speed of light. This module provides the FLOP/byte counts for the
 LOAM batch step so the bench can report an MFU estimate and an HBM-bandwidth
 utilization alongside the measured device time.
 
-The kernel is gather-dominated: per GN iteration per scan, each of the N
-query points reads 8 slab rows of W f32 lanes from HBM (the corner-selected
-2x2x2 gather, ops/voxel.py), then does ~45 VPU flops per candidate for the
-distance/5-NN/plane-fit chain and two small einsums. There is no meaningful
-MXU work — the model exists to *prove* the kernel is HBM-transaction-bound,
-not to flatter it.
+Cost structure after the round-4 redesign: per candidate GATHER (~once per
+scan) each of the N query points reads ONE pre-merged slab row of W f32
+lanes from HBM (voxel.MergedDenseVoxelMap) and the 5-NN/plane-fit chain
+does ~45 VPU flops per candidate ONCE; each GN ITERATION then costs only
+~300 per-query flops against the frozen planes (loam.fit_planes /
+plane_normal_equations). There is no meaningful MXU work — the model
+exists to locate the kernel against the HBM bound, not to flatter it.
 
 Peaks are TPU v5e (the bench chip): 197 TFLOP/s bf16 MXU (f32 work measured
 against the same number states an upper bound on MFU honestly — f32 peak is
@@ -43,18 +44,20 @@ def loam_batch_cost(n_queries: int, slab_rows: int, lane_width: int,
                     mean_gathers: float) -> Dict[str, float]:
     """FLOPs and HBM bytes of one streamed registration batch.
 
-    n_queries: padded query points per scan (tpu.ds/kf capacity)
-    slab_rows: rows gathered per query (8 for the corner gather)
-    lane_width: f32 lanes per slab row (ops/voxel._row_lanes)
-    slab_pts: points stored per row (tpu.loam_slab_size)
+    n_queries: padded query points per scan (the scan-row capacity)
+    slab_rows: HBM rows gathered per query (1 for the merged gather)
+    lane_width: f32 lanes per gathered row (8 * slab_pts * 3 merged)
+    slab_pts: points stored per VOXEL (tpu.loam_slab_size)
     mean_iters / mean_gathers: measured per-scan GN iterations and gather
-    refreshes (gathers <= iters since the cached-gather change).
+    refreshes. The candidate-axis flops are paid per GATHER (fit_planes);
+    iterations pay only the per-query frozen-plane work.
     """
-    cand_pts = slab_rows * slab_pts
+    cand_pts = 8 * slab_pts
     gather_bytes = (n_scans * mean_gathers * n_queries
                     * slab_rows * lane_width * 4.0)
-    flops = n_scans * mean_iters * n_queries * (
-        cand_pts * _FLOPS_PER_CAND + _FLOPS_PER_QUERY)
+    flops = n_scans * n_queries * (
+        mean_gathers * cand_pts * _FLOPS_PER_CAND
+        + mean_iters * _FLOPS_PER_QUERY)
     return {"flops": flops, "hbm_bytes": gather_bytes,
             "cand_pts_per_query": float(cand_pts)}
 

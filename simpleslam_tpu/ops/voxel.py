@@ -427,6 +427,82 @@ def gather_neighbors_corner(dm: DenseVoxelMap, queries: jax.Array,
     return pts.reshape(q_, k_ * m, 3), valid.reshape(q_, k_ * m)
 
 
+# ---------------------------------------------------------------------------
+# Merged-neighborhood dense map (ONE HBM row per query)
+# ---------------------------------------------------------------------------
+#
+# The corner-selected 2x2x2 gather still issues 8 random HBM row reads per
+# query; measured on the v5e the gather is TRANSACTION-bound, not byte-bound
+# (benchmarks/bench_attrib.py: 8 rows/query at 8192 queries = 0.81 ms, the
+# same candidate set as ONE merged row = 0.28 ms, and 0.04 ms once queries
+# are spatially sorted so consecutive transactions hit neighboring rows).
+# So the registration target pre-merges each voxel's 2x2x2 block into a
+# single row at map-build time: row v holds the points of voxels v + {0,1}^3
+# concatenated. The merge is built from 8 contiguous shifted slices of the
+# dense slab — pure bandwidth, no random access (~1.4 ms at (96,96,16)x24,
+# amortized over a whole submap window's lifetime).
+
+
+class MergedDenseVoxelMap(NamedTuple):
+    """Dense grid whose row v holds the 2x2x2 block at v, pre-merged.
+
+    rows:  (Gx*Gy*Gz + 1, 8*M*3) f32 — PAD_COORD padding; last row sentinel
+    corner/grid/dims/slab_pts: as DenseVoxelMap (slab_pts = per-VOXEL M)
+    """
+
+    rows: jax.Array
+    corner: jax.Array
+    grid: jax.Array
+    dims: Tuple[int, int, int]
+    slab_pts: int
+
+    @property
+    def slab_size(self) -> int:
+        return self.slab_pts
+
+
+jax.tree_util.register_pytree_node(
+    MergedDenseVoxelMap,
+    lambda m: ((m.rows, m.corner, m.grid), (m.dims, m.slab_pts)),
+    lambda aux, leaves: MergedDenseVoxelMap(*leaves, aux[0], aux[1]),
+)
+
+
+@partial(jax.jit, static_argnames=("dims", "slab_size"))
+def build_merged_dense_voxel_map(pc: PointCloud, grid, center: jax.Array,
+                                 dims: Tuple[int, int, int],
+                                 slab_size: int) -> MergedDenseVoxelMap:
+    """Dense slab build + 2x2x2 neighborhood merge (one fused program)."""
+    dm = build_dense_voxel_map(pc, grid, center, dims, slab_size,
+                               lane_quantum=1)
+    gx, gy, gz = dims
+    m = slab_size
+    pts = dm.slab[:-1, : m * 3].reshape(gx, gy, gz, m * 3)
+    padded = jnp.pad(pts, ((0, 1), (0, 1), (0, 1), (0, 0)),
+                     constant_values=PAD_COORD)
+    parts = [padded[dx:dx + gx, dy:dy + gy, dz:dz + gz]
+             for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
+    rows = jnp.concatenate(parts, axis=-1).reshape(gx * gy * gz, 8 * m * 3)
+    rows = jnp.concatenate(
+        [rows, jnp.full((1, 8 * m * 3), PAD_COORD, jnp.float32)])
+    return MergedDenseVoxelMap(rows, dm.corner, dm.grid, dims, slab_size)
+
+
+@jax.jit
+def gather_neighbors_merged(mm: MergedDenseVoxelMap, queries: jax.Array,
+                            q_mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Corner-selected 2x2x2 gather, ONE row per query.
+
+    Identical candidate set and coverage guarantee as
+    ``gather_neighbors_corner`` (map grid >= 2 * search radius); only the
+    HBM transaction count differs (Q rows instead of 8Q).
+    """
+    base = jnp.floor((queries - mm.corner) / mm.grid - 0.5).astype(jnp.int32)
+    flat = _dense_flat(base, mm.dims, q_mask)  # (Q,)
+    pts, valid = _rows_to_points(mm.rows[flat], 8 * mm.slab_pts)
+    return pts, valid
+
+
 @partial(jax.jit, static_argnames=("k", "radius"))
 def knn_dense(dm: DenseVoxelMap, queries: jax.Array, q_mask: jax.Array,
               k: int, radius: int = 1) -> Tuple[jax.Array, jax.Array, jax.Array]:

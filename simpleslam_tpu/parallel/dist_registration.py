@@ -39,7 +39,8 @@ def sharded_scan2map(mesh: Mesh, axis: str = "dp", max_iters: int = loam.MAX_ITE
 
     def shard_body(src: PointCloud, vm: VoxelMap, init_pose: jax.Array):
         return loam.gn_loop(src, vm, init_pose, max_iters,
-                            reduce_fn=fused_psum)
+                            reduce_fn=fused_psum,
+                            rmax_reduce_fn=lambda r: jax.lax.pmax(r, axis))
 
     sharded = jax.shard_map(
         shard_body,

@@ -56,7 +56,8 @@ def posegraph_worker(payload: Dict[str, Any], num_processes: int,
     g = mh.tree_make_global(g_np, mesh, specs)
 
     fn = sharded_solve(mesh, axis="kf", max_iters=max_iters,
-                       cg_iters=cg_iters)
+                       cg_iters=cg_iters,
+                       shard_cg=bool(payload.get("shard_cg", False)))
     res = fn(g)
     res.poses.block_until_ready()  # warmup/compile
 

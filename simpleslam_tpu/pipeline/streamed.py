@@ -65,7 +65,8 @@ from .app import SlamResult, SlamSystem
 def _batch_body(ds_stack: jax.Array, local_odoms: jax.Array, target,
                 pose_prev: jax.Array, pose_prev2: jax.Array,
                 odom2map: jax.Array, kind: str, mode: str,
-                clamp: bool, degen: float, reduce_fn=None):
+                clamp: bool, degen: float, reduce_fn=None,
+                rmax_reduce_fn=None):
     """K odometry steps as ONE program: ``lax.scan`` over the scan axis
     (trace-time body, shared by the single-device jit and the mesh-sharded
     wrapper — ``reduce_fn`` reduces per-shard normal equations there).
@@ -91,7 +92,8 @@ def _batch_body(ds_stack: jax.Array, local_odoms: jax.Array, target,
             init = geo.pose_compose(prev, step)
         pose, conv, fit, iters, gathers = register_kind(pc, target, init,
                                                         kind, degen,
-                                                        reduce_fn)
+                                                        reduce_fn,
+                                                        rmax_reduce_fn)
         if clamp:  # planar clamp each frame (frontend.planar_clamp config)
             pose = geo.six_dof_to_mobile(pose)
         if mode == "lio":
@@ -148,7 +150,8 @@ def make_sharded_batch(mesh, kind: str, mode: str, clamp: bool, degen: float,
     def body(ds_stack, local_odoms, target, pose_prev, pose_prev2, odom2map):
         return _batch_body(ds_stack, local_odoms, target, pose_prev,
                            pose_prev2, odom2map, kind, mode, clamp, degen,
-                           fused_psum)
+                           fused_psum,
+                           lambda r: jax.lax.pmax(r, axis))
 
     sm = jax.shard_map(
         body, mesh=mesh,
@@ -259,10 +262,11 @@ class _ScanPrep:
     """
 
     def __init__(self, scans, grid: float, capacity: int, depth: int = 64,
-                 chunk: int = 16):
+                 chunk: int = 16, sort_grid: float = 0.0):
         self.scans = scans
         self.grid = grid
         self.capacity = capacity
+        self.sort_grid = sort_grid
         self.depth = depth
         self.chunk = chunk
         self._results = {}
@@ -291,6 +295,21 @@ class _ScanPrep:
                     [np.asarray(self.scans[i], np.float32)
                      for i in range(lo, hi)],
                     self.grid, self.capacity, PAD_COORD)
+                if self.sort_grid > 0:
+                    # spatial sort of each scan's points: consecutive
+                    # registration queries then hit neighboring HBM rows of
+                    # the dense target, coalescing the gather's transactions
+                    # (measured ~6x on the merged-row gather,
+                    # benchmarks/bench_attrib.py). Sorting by SENSOR-frame
+                    # voxel key at the target grid preserves locality under
+                    # the rigid map transform.
+                    for k in range(hi - lo):
+                        c = int(cnts[k])
+                        if c > 1:
+                            v = np.floor(rows[k][:c] / self.sort_grid
+                                         ).astype(np.int64) + (1 << 20)
+                            key = (v[:, 0] << 42) + (v[:, 1] << 21) + v[:, 2]
+                            rows[k][:c] = rows[k][:c][np.argsort(key)]
                 with self._cv:
                     for k, i in enumerate(range(lo, hi)):
                         self._results[i] = (rows[k], int(cnts[k]))
@@ -349,7 +368,24 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
     mm = system.map_manager
     mm.enable_device_store()
     grid = float(system.lidar_odometry.grid_size)
-    dsc = mm.kf_capacity  # one layout for scans and the keyframe store
+    # scan-row capacity: the registration query axis. Decoupled from the
+    # keyframe-store row capacity (kf_capacity) because every (Q, ...) pass
+    # of the hot loop scales with it — auto mode sizes it from the first
+    # scan's downsampled occupancy (+20 %, 512-aligned), so a typical scan
+    # is ~75 % occupied instead of ~60 %. LATCHED on the system after the
+    # first run: one capacity (one compile) per SlamSystem lifetime, so
+    # multi-segment drives (bench warmup/probe/throughput, memcheck) never
+    # recompile on count drift between segments.
+    dsc = getattr(system, "_streamed_scan_capacity", None)
+    if dsc is None:
+        dsc = int(cfg["tpu"].get("ds_scan_capacity", 8192))
+        if bool(cfg["tpu"].get("auto_scan_capacity", True)) \
+                and len(streams.scans):
+            cnt0 = len(native.voxel_downsample_first(
+                np.asarray(streams.scans[0], np.float32), grid))
+            dsc = max(2048, min(dsc, -(-int(cnt0 * 1.2) // 512) * 512))
+        dsc = min(dsc, mm.kf_capacity)  # scan rows must fit kf-store rows
+        system._streamed_scan_capacity = dsc
     kind = system.register.KIND
     mode = system.mode
     clamp = bool(cfg["frontend"].get("planar_clamp", True))
@@ -409,7 +445,9 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
             local_np[k, 1, 3] = s[1]
         timers.add("ekf_replay", tt.toc())
 
-    prep = _ScanPrep(streams.scans, grid, dsc)
+    sort_grid = (system.register.TARGET_GRID
+                 if hasattr(system.register, "TARGET_GRID") else 0.0)
+    prep = _ScanPrep(streams.scans, grid, dsc, sort_grid=float(sort_grid))
     worker = (_BackendWorker(system, timers)
               if system.backend is not None else None)
 
@@ -600,7 +638,7 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
                 si, pose_prev, pose_prev2, odom2map)
             si = batch[-1] + 1
             pending.append((batch, packed))
-        if pending and (len(pending) > depth or si >= n_scans):
+        if pending and (len(pending) >= depth or si >= n_scans):
             done = pending.popleft()
             retire(done[0], done[1])
             if progress:
@@ -628,5 +666,6 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
             "gn_iters_mean": round(stats["gn_iters"] / n_reg, 3),
             "gn_gathers_mean": round(stats["gn_gathers"] / n_reg, 3),
             "n_batches": stats["n_batches"],
+            "scan_capacity": dsc,
         },
     )
