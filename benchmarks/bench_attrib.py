@@ -198,8 +198,13 @@ def main() -> int:
             (timeit(lambda k=k: s2m(ds, vm, pose_w, k), reps) - rtt) * 1e3, 3)
 
     # -- the 16-scan fused batch (cross-check vs BENCH device_exec) ---------
-    from simpleslam_tpu.pipeline.streamed import _streamed_batch
-    rows = np.tile(np.asarray(ds.xyz)[None], (16, 1, 1))
+    from simpleslam_tpu.pipeline.streamed import (_streamed_batch,
+                                                  UPLOAD_PAD, UPLOAD_SCALE)
+    xyzf = np.asarray(ds.xyz)
+    q = np.where(xyzf < 1e5,
+                 np.clip(np.rint(xyzf / UPLOAD_SCALE), -32766, 32766),
+                 float(UPLOAD_PAD)).astype(np.int16)
+    rows = np.tile(q[None], (16, 1, 1))
     rows_d = jnp.asarray(rows)
     loc_d = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (16, 1, 1)))
 

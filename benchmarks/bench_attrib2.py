@@ -124,8 +124,12 @@ def main() -> int:
     out["motion_iters"] = int(res.iters)
 
     # 16-scan batch against the merged map (the streamed program)
-    from simpleslam_tpu.pipeline.streamed import _streamed_batch
-    rows_d = jnp.asarray(np.tile(xyz[None], (16, 1, 1)))
+    from simpleslam_tpu.pipeline.streamed import (_streamed_batch,
+                                                  UPLOAD_PAD, UPLOAD_SCALE)
+    q16 = np.where(xyz < 1e5,
+                   np.clip(np.rint(xyz / UPLOAD_SCALE), -32766, 32766),
+                   float(UPLOAD_PAD)).astype(np.int16)
+    rows_d = jnp.asarray(np.tile(q16[None], (16, 1, 1)))
     loc_d = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (16, 1, 1)))
 
     def batch():

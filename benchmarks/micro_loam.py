@@ -122,8 +122,13 @@ def main() -> int:
 
     # the fused 16-scan batch (what the streamed executor dispatches),
     # plus upload cost of its rows
-    from simpleslam_tpu.pipeline.streamed import _streamed_batch
-    rows = np.tile(np.asarray(ds.xyz)[None], (16, 1, 1))
+    from simpleslam_tpu.pipeline.streamed import (_streamed_batch,
+                                                  UPLOAD_PAD, UPLOAD_SCALE)
+    xyzf = np.asarray(ds.xyz)
+    q = np.where(xyzf < 1e5,
+                 np.clip(np.rint(xyzf / UPLOAD_SCALE), -32766, 32766),
+                 float(UPLOAD_PAD)).astype(np.int16)
+    rows = np.tile(q[None], (16, 1, 1))
     eye16 = np.tile(np.eye(4, dtype=np.float32), (16, 1, 1))
 
     def upload():

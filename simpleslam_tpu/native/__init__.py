@@ -52,6 +52,11 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.voxel_downsample_centroid_pad_batch.argtypes = [
         f32p, i64p, i64, ctypes.c_float, i64, i64, ctypes.c_float, f32p,
         i64p, i64]
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    lib.voxel_downsample_sort_quant_batch.restype = None
+    lib.voxel_downsample_sort_quant_batch.argtypes = [
+        f32p, i64p, i64, ctypes.c_float, i64, i64, ctypes.c_float,
+        ctypes.c_float, i16p, i64p, i64]
     lib.transform_concat.restype = i64
     lib.transform_concat.argtypes = [f32p, i64p, f32p, i64, f32p]
 
@@ -194,6 +199,47 @@ def voxel_downsample_centroid_pad_batch(scans, grid: float, capacity: int,
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), b,
         ctypes.c_float(grid), max_pts, capacity, ctypes.c_float(pad_coord),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), threads)
+    return out, out_counts
+
+
+def voxel_downsample_sort_quant_batch(scans, grid: float, capacity: int,
+                                      sort_grid: float, quant_scale: float,
+                                      max_pts: int = 20):
+    """Full streamed-producer prep: downsample + spatial sort + int16
+    quantization in ONE GIL-released call (see hostops.cpp rationale).
+
+    Returns ((B, capacity, 3) int16 with 32767 pad sentinel, (B,) counts).
+    """
+    b = len(scans)
+    lib = _load()
+    if lib is None:
+        rows, cnts = voxel_downsample_centroid_pad_batch(
+            scans, grid, capacity, 0.0, max_pts)
+        out = np.full((b, capacity, 3), np.int16(32767), np.int16)
+        for k in range(b):
+            c = int(cnts[k])
+            pts = rows[k][:c]
+            if sort_grid > 0 and c > 1:
+                v = np.floor(pts / sort_grid).astype(np.int64) + (1 << 20)
+                key = (v[:, 0] << 42) + (v[:, 1] << 21) + v[:, 2]
+                pts = pts[np.argsort(key)]
+            out[k][:c] = np.clip(np.rint(pts / quant_scale), -32766, 32766
+                                 ).astype(np.int16)
+        return out, cnts
+    flat = [_f32c(np.asarray(s).reshape(-1, 3)) for s in scans]
+    concat = (np.concatenate(flat, axis=0) if flat
+              else np.zeros((0, 3), np.float32))
+    counts = np.asarray([len(f) for f in flat], np.int64)
+    out = np.empty((b, capacity, 3), np.int16)
+    out_counts = np.empty(b, np.int64)
+    threads = max(1, (os.cpu_count() or 2) - 1)
+    lib.voxel_downsample_sort_quant_batch(
+        concat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), b,
+        ctypes.c_float(grid), max_pts, capacity, ctypes.c_float(sort_grid),
+        ctypes.c_float(quant_scale),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         out_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), threads)
     return out, out_counts
 

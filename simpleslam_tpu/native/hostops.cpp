@@ -219,6 +219,70 @@ void voxel_downsample_centroid_pad_batch(
     }
 }
 
+// Full producer prep in one call: downsample + spatial sort + int16
+// quantization (the streamed executor's upload format). Sorting each
+// scan's points by voxel key at `sort_grid` makes consecutive registration
+// queries hit neighboring HBM rows of the dense target (transaction
+// coalescing, ~6x on the merged-row gather); quantizing to
+// round(x / quant_scale) int16 (pad sentinel 32767) halves the upload
+// bytes. Doing all three here keeps the GIL released for the whole chunk —
+// the numpy equivalents measured ~16 ms of GIL-held work per 32-scan batch
+// on the 2-core streamed hosts.
+void voxel_downsample_sort_quant_batch(
+    const float* xyz, const int64_t* counts, int64_t n_scans, float grid,
+    int64_t max_pts, int64_t capacity, float sort_grid, float quant_scale,
+    int16_t* out, int64_t* out_counts, int64_t threads) {
+    std::vector<int64_t> offs(n_scans + 1, 0);
+    for (int64_t c = 0; c < n_scans; ++c) offs[c + 1] = offs[c] + counts[c];
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(dynamic) num_threads(static_cast<int>(threads))
+#endif
+    for (int64_t c = 0; c < n_scans; ++c) {
+        std::vector<float> tmp(static_cast<size_t>(capacity) * 3);
+        const int64_t m = voxel_downsample_centroid_pad(
+            xyz + 3 * offs[c], counts[c], grid, max_pts, capacity, 0.0f,
+            tmp.data());
+        std::vector<int32_t> idx(m);
+        for (int64_t i = 0; i < m; ++i) idx[i] = static_cast<int32_t>(i);
+        if (sort_grid > 0.0f && m > 1) {
+            std::vector<std::pair<int64_t, int32_t>> keys(m);
+            const float inv = 1.0f / sort_grid;
+            for (int64_t i = 0; i < m; ++i) {
+                const int64_t kx =
+                    static_cast<int64_t>(std::floor(tmp[3 * i] * inv)) +
+                    (1 << 20);
+                const int64_t ky =
+                    static_cast<int64_t>(std::floor(tmp[3 * i + 1] * inv)) +
+                    (1 << 20);
+                const int64_t kz =
+                    static_cast<int64_t>(std::floor(tmp[3 * i + 2] * inv)) +
+                    (1 << 20);
+                keys[i] = {(kx << 42) | (ky << 21) | kz,
+                           static_cast<int32_t>(i)};
+            }
+            std::sort(keys.begin(), keys.end());
+            for (int64_t i = 0; i < m; ++i) idx[i] = keys[i].second;
+        }
+        int16_t* o = out + 3 * capacity * c;
+        const float qinv = 1.0f / quant_scale;
+        for (int64_t k = 0; k < m; ++k) {
+            const float* p = tmp.data() + 3 * idx[k];
+            for (int d = 0; d < 3; ++d) {
+                float q = std::nearbyint(p[d] * qinv);
+                if (q > 32766.0f) q = 32766.0f;
+                if (q < -32766.0f) q = -32766.0f;
+                o[3 * k + d] = static_cast<int16_t>(q);
+            }
+        }
+        for (int64_t k = m; k < capacity; ++k) {
+            o[3 * k] = 32767;
+            o[3 * k + 1] = 32767;
+            o[3 * k + 2] = 32767;
+        }
+        out_counts[c] = m;
+    }
+}
+
 // NaN-strip + pad/truncate into the fixed-capacity device layout:
 // out (capacity,3) filled with pad_coord beyond the valid prefix,
 // mask (capacity) bytes 0/1. Returns the valid count.
