@@ -270,12 +270,14 @@ class Backend:
         while k > self._k_bucket:
             self._k_bucket = min(self._k_bucket * 4, self.k_cap)
             self._g = None  # rebuild at the larger bucket
+            self.n_bucket_growths = getattr(self, "n_bucket_growths", 0) + 1
         while e > self._e_bucket:
             self._e_bucket = min(self._e_bucket * 4, self.e_cap)
             if self._mesh is not None:  # keep edges mesh-divisible
                 n = self._mesh.devices.size
                 self._e_bucket = -(-self._e_bucket // n) * n
             self._g = None
+            self.n_bucket_growths = getattr(self, "n_bucket_growths", 0) + 1
         if self._g is None:
             self._g = self._build_graph(kf_poses)
             self._k_dev, self._e_dev = k, e

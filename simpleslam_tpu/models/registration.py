@@ -64,7 +64,8 @@ def register_kind(ds: PointCloud, target: Any, init_pose: jax.Array,
         res = vgicp_ops.align(ds, target, init_pose)
         pose, conv, fit = res.pose, res.converged, res.fitness
         gathers = res.iters
-    return pose, conv, fit, res.iters, gathers
+    support = getattr(res, "n_valid", jnp.int32(0))
+    return pose, conv, fit, res.iters, gathers, support
 
 
 @partial(jax.jit, static_argnames=("ds_capacity", "kind", "clamp", "degen"))
@@ -78,7 +79,8 @@ def _fused_odometry_step(raw: PointCloud, target: Any, init_pose: jax.Array,
     ``frontend.planar_clamp`` config (off for sloped/rough terrain).
     """
     ds = pcops.compact(vox.voxel_downsample(raw, grid), ds_capacity)
-    pose, conv, fit, _, _ = register_kind(ds, target, init_pose, kind, degen)
+    pose, conv, fit, _, _, _ = register_kind(ds, target, init_pose, kind,
+                                             degen)
     if clamp:
         pose = geo.six_dof_to_mobile(pose)
     return pose, conv, fit, ds

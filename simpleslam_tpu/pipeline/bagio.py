@@ -7,7 +7,8 @@ rosbags (``/root/reference/app/main.cpp:155-207``; bag paths in
 is the framework's equivalent ingest edge, with no ROS dependency:
 
 - a from-scratch ROS1 bag format 2.0 parser (records/chunks/connections;
-  ``none`` and ``bz2`` chunk compression) with hand-rolled deserializers for
+  ``none``, ``bz2`` and ``lz4`` chunk compression — the lz4 frame codec is
+  implemented in-module, no lz4 package needed) with hand-rolled deserializers for
   the three message types the reference consumes — ``sensor_msgs/PointCloud2``,
   ``sensor_msgs/Imu``, ``nav_msgs/Odometry`` — plus ``sensor_msgs/NavSatFix``
   for the GPS ground-truth path (``eval/scripts/gps2tum.py``);
@@ -52,6 +53,244 @@ _MD5 = {
 
 _PF_DTYPES = {1: "i1", 2: "u1", 3: "i2", 4: "u2",
               5: "i4", 6: "u4", 7: "f4", 8: "f8"}
+
+
+# --------------------------------------------------------------------------
+# LZ4 frame codec (pure Python)
+# --------------------------------------------------------------------------
+#
+# rosbag's default chunk compression in most recording tooling is lz4
+# (roslz4 emits the standard LZ4 Frame format, magic 0x184D2204); this image
+# ships no lz4 module, so the ~100 lines of the spec are implemented here.
+# The decoder handles the general frame layout (block checksums and content
+# checksums are skipped, not verified); the encoder emits spec-correct
+# frames (greedy hash-table block compressor + xxhash32 header checksum) so
+# bags we write interoperate with standard readers.
+
+_LZ4_MAGIC = 0x184D2204
+_XXH_P1, _XXH_P2, _XXH_P3 = 2654435761, 2246822519, 3266489917
+_XXH_P4, _XXH_P5 = 668265263, 374761393
+_M32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def _xxh32(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    i = 0
+    if n >= 16:
+        v1 = (seed + _XXH_P1 + _XXH_P2) & _M32
+        v2 = (seed + _XXH_P2) & _M32
+        v3 = seed
+        v4 = (seed - _XXH_P1) & _M32
+        while i + 16 <= n:
+            for k, v in enumerate((v1, v2, v3, v4)):
+                lane = int.from_bytes(data[i + 4 * k:i + 4 * k + 4], "little")
+                v = (v + lane * _XXH_P2) & _M32
+                v = (_rotl32(v, 13) * _XXH_P1) & _M32
+                if k == 0:
+                    v1 = v
+                elif k == 1:
+                    v2 = v
+                elif k == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 16
+        h = (_rotl32(v1, 1) + _rotl32(v2, 7) + _rotl32(v3, 12)
+             + _rotl32(v4, 18)) & _M32
+    else:
+        h = (seed + _XXH_P5) & _M32
+    h = (h + n) & _M32
+    while i + 4 <= n:
+        h = (h + int.from_bytes(data[i:i + 4], "little") * _XXH_P3) & _M32
+        h = (_rotl32(h, 17) * _XXH_P4) & _M32
+        i += 4
+    while i < n:
+        h = (h + data[i] * _XXH_P5) & _M32
+        h = (_rotl32(h, 11) * _XXH_P1) & _M32
+        i += 1
+    h ^= h >> 15
+    h = (h * _XXH_P2) & _M32
+    h ^= h >> 13
+    h = (h * _XXH_P3) & _M32
+    h ^= h >> 16
+    return h
+
+
+def _lz4_decompress_block(src: bytes, out: bytearray,
+                          max_out: int) -> None:
+    """LZ4 block into ``out`` (appended); raises ValueError on corruption.
+    ``max_out`` bounds the output so a corrupt match length cannot balloon
+    memory (the bag chunk record declares the uncompressed size)."""
+    i, n = 0, len(src)
+    while i < n:
+        if len(out) > max_out:
+            raise ValueError("lz4: output exceeds declared size")
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                if i >= n:
+                    raise ValueError("lz4: truncated literal length")
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        if i + lit > n:
+            raise ValueError("lz4: truncated literals")
+        out += src[i:i + lit]
+        i += lit
+        if i >= n:
+            return  # last sequence: literals only
+        if i + 2 > n:
+            raise ValueError("lz4: truncated match offset")
+        off = src[i] | (src[i + 1] << 8)
+        i += 2
+        if off == 0 or off > len(out):
+            raise ValueError("lz4: bad match offset")
+        mlen = (token & 0xF) + 4
+        if (token & 0xF) == 15:
+            while True:
+                if i >= n:
+                    raise ValueError("lz4: truncated match length")
+                b = src[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        if len(out) + mlen > max_out:
+            raise ValueError("lz4: output exceeds declared size")
+        pos = len(out) - off
+        for _ in range(mlen):  # byte-wise: overlap semantics
+            out.append(out[pos])
+            pos += 1
+
+
+def lz4_decompress_frame(buf: bytes,
+                         max_out: int = 1 << 30) -> bytes:
+    """Decode one LZ4 frame (the roslz4 chunk payload format)."""
+    if len(buf) < 7 or int.from_bytes(buf[:4], "little") != _LZ4_MAGIC:
+        raise ValueError("lz4: bad frame magic")
+    flg, bd = buf[4], buf[5]
+    if (flg >> 6) != 0b01:
+        raise ValueError("lz4: unsupported frame version")
+    has_bsum = bool(flg & 0x10)
+    has_csize = bool(flg & 0x08)
+    has_csum = bool(flg & 0x04)
+    has_dict = bool(flg & 0x01)
+    del bd
+    i = 6 + (8 if has_csize else 0) + (4 if has_dict else 0) + 1  # + HC byte
+    out = bytearray()
+    while True:
+        if i + 4 > len(buf):
+            raise ValueError("lz4: truncated block header")
+        bsize = int.from_bytes(buf[i:i + 4], "little")
+        i += 4
+        if bsize == 0:
+            break  # EndMark
+        raw = bool(bsize & 0x80000000)
+        bsize &= 0x7FFFFFFF
+        if i + bsize > len(buf):
+            raise ValueError("lz4: truncated block")
+        block = buf[i:i + bsize]
+        i += bsize
+        if has_bsum:
+            i += 4  # block checksum (not verified)
+        if raw:
+            out += block
+            if len(out) > max_out:
+                raise ValueError("lz4: output exceeds declared size")
+        else:
+            _lz4_decompress_block(block, out, max_out)
+    if has_csum:
+        i += 4  # content checksum (not verified)
+    return bytes(out)
+
+
+def _lz4_compress_block(src: bytes) -> bytes:
+    """Greedy hash-table LZ4 block compressor (spec-correct, not maximal)."""
+    n = len(src)
+    out = bytearray()
+    table: Dict[int, int] = {}
+    anchor = 0
+    i = 0
+    # spec: last 5 bytes are always literals; matches must not start there
+    while i + 12 <= n:
+        key = src[i:i + 4]
+        h = int.from_bytes(key, "little")
+        cand = table.get(h)
+        table[h] = i
+        if cand is not None and i - cand <= 65535 and src[cand:cand + 4] == key:
+            mlen = 4
+            limit = n - 5
+            while i + mlen < limit and src[cand + mlen] == src[i + mlen]:
+                mlen += 1
+            lit = i - anchor
+            tok_lit = 15 if lit >= 15 else lit
+            tok_m = mlen - 4
+            tok_mm = 15 if tok_m >= 15 else tok_m
+            out.append((tok_lit << 4) | tok_mm)
+            rem = lit - 15
+            while rem >= 0:
+                out.append(min(rem, 255))
+                if rem < 255:
+                    break
+                rem -= 255
+            out += src[anchor:i]
+            off = i - cand
+            out += off.to_bytes(2, "little")
+            rem = tok_m - 15
+            while rem >= 0:
+                out.append(min(rem, 255))
+                if rem < 255:
+                    break
+                rem -= 255
+            i += mlen
+            anchor = i
+        else:
+            i += 1
+    lit = n - anchor
+    tok_lit = 15 if lit >= 15 else lit
+    out.append(tok_lit << 4)
+    rem = lit - 15
+    while rem >= 0:
+        out.append(min(rem, 255))
+        if rem < 255:
+            break
+        rem -= 255
+    out += src[anchor:]
+    return bytes(out)
+
+
+def lz4_compress_frame(data: bytes) -> bytes:
+    """Encode one spec-correct LZ4 frame (64 KB blocks, no checksums except
+    the mandatory header checksum byte)."""
+    flg = (0b01 << 6) | 0x40 * 0 | 0x20  # version 01, block independence
+    bd = 0x40  # block max size 64 KB
+    header = bytes([flg, bd])
+    hc = (_xxh32(header) >> 8) & 0xFF
+    out = bytearray()
+    out += _LZ4_MAGIC.to_bytes(4, "little")
+    out += header
+    out.append(hc)
+    for i in range(0, max(len(data), 1), 65536):
+        block = data[i:i + 65536]
+        if not block:
+            break
+        comp = _lz4_compress_block(block)
+        if len(comp) < len(block):
+            out += len(comp).to_bytes(4, "little")
+            out += comp
+        else:
+            out += (len(block) | 0x80000000).to_bytes(4, "little")
+            out += block
+    out += (0).to_bytes(4, "little")  # EndMark
+    return bytes(out)
 
 
 # --------------------------------------------------------------------------
@@ -312,13 +551,16 @@ def _iter_records(buf: bytes, off: int = 0) -> Iterator[Tuple[Dict[str, bytes], 
 
 
 def write_bag(path: str, messages: Sequence[Tuple[str, object, float]],
-              chunk_msgs: int = 256) -> None:
+              chunk_msgs: int = 256, compression: str = "none") -> None:
     """Write ``(topic, msg, t_sec)`` tuples as a ROS1 v2.0 bag.
 
     Standard enough for the framework's own reader and for rosbag tooling:
-    bag header, uncompressed chunks with embedded connection records,
-    per-chunk index records, then trailing connection + chunk-info records.
+    bag header, chunks (``none``/``bz2``/``lz4`` compression) with embedded
+    connection records, per-chunk index records, then trailing connection +
+    chunk-info records.
     """
+    if compression not in ("none", "bz2", "lz4"):
+        raise ValueError(f"unsupported compression {compression!r}")
     msgs = sorted(messages, key=lambda m: m[2])
     conns: Dict[str, int] = {}
     conn_recs: List[bytes] = []
@@ -370,9 +612,16 @@ def write_bag(path: str, messages: Sequence[Tuple[str, object, float]],
                 base += len(rec)
             chunk_data = b"".join(parts)
             pos = f.tell()
+            if compression == "bz2":
+                payload = bz2.compress(chunk_data)
+            elif compression == "lz4":
+                payload = lz4_compress_frame(chunk_data)
+            else:
+                payload = chunk_data
             f.write(_w_record(
-                {"op": bytes([_OP_CHUNK]), "compression": b"none",
-                 "size": struct.pack("<I", len(chunk_data))}, chunk_data))
+                {"op": bytes([_OP_CHUNK]),
+                 "compression": compression.encode(),
+                 "size": struct.pack("<I", len(chunk_data))}, payload))
             for cid, entries in index.items():
                 idx_data = b"".join(
                     _w_time(t) + struct.pack("<I", off) for t, off in entries)
@@ -405,7 +654,7 @@ def read_bag(path: str, topics: Optional[Sequence[str]] = None
              ) -> Iterator[Tuple[str, object, float]]:
     """Yield ``(topic, msg, t_sec)`` in stored order (chunk-sequential).
 
-    Supports ``none`` and ``bz2`` chunk compression and the four message
+    Supports ``none``/``bz2``/``lz4`` chunk compression and the four message
     types above; unknown types/topics are skipped silently (the reference's
     replay loop also dispatches only the topics it knows,
     app/main.cpp:168-199).
@@ -443,10 +692,19 @@ def read_bag(path: str, topics: Optional[Sequence[str]] = None
             op = fields["op"][0]
             if op == _OP_CHUNK:
                 comp = fields.get("compression", b"none")
-                if comp not in (b"none", b"bz2"):
+                if comp == b"bz2":
+                    payload = bz2.decompress(data)
+                elif comp == b"lz4":
+                    declared = fields.get("size")
+                    max_out = (struct.unpack("<I", declared)[0]
+                               if declared and len(declared) == 4
+                               else 1 << 30)
+                    payload = lz4_decompress_frame(data, max_out)
+                elif comp == b"none":
+                    payload = data
+                else:
                     raise ValueError(
                         f"unsupported chunk compression {comp!r}")
-                payload = bz2.decompress(data) if comp == b"bz2" else data
                 for ifields, idata in _iter_records(payload):
                     out = handle(ifields, idata)
                     if out is not None:

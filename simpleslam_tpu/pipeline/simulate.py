@@ -114,6 +114,50 @@ def make_world(seed: int = 0, extent: float = 120.0, n_buildings: int = 24) -> W
     return w
 
 
+def make_loop_world(seed: int = 0, radius: float = 40.0,
+                    extent: float = 80.0, n_buildings: int = 64,
+                    corridor: float = 9.0) -> World:
+    """Loop-trajectory world: like ``make_world`` but with the building
+    placement rejection-sampled to keep a clear ``corridor`` around the
+    circular path ``make_trajectory(radius=radius)`` drives (circle of that
+    radius centered at (0, radius)). ``make_world`` only clears the start
+    square, so long loop runs eventually drive THROUGH a random building —
+    the scan collapses to a few hundred occluded interior points and
+    registration starves (measured in the round-4 long-run bench). Real
+    deployments drive on roads; this generator is the simulator's road.
+    """
+    rng = np.random.default_rng(seed)
+    w = World()
+    e = extent
+    w.rects.append(Rect(2, 0.0, (-e, e + 2 * radius, -e, e)))  # ground
+    w.rects.append(Rect(0, -e, (-e, e + 2 * radius, 0.0, 6.0)))
+    w.rects.append(Rect(0, e, (-e, e + 2 * radius, 0.0, 6.0)))
+    w.rects.append(Rect(1, -e, (-e, e, 0.0, 6.0)))
+    w.rects.append(Rect(1, e + 2 * radius, (-e, e, 0.0, 6.0)))
+    cx0, cy0 = 0.0, radius
+    placed = 0
+    for _ in range(n_buildings * 8):
+        if placed >= n_buildings:
+            break
+        cx = rng.uniform(-e * 0.9, e * 0.9)
+        cy = rng.uniform(-e * 0.9 + radius, e * 0.9 + radius)
+        sx, sy = rng.uniform(4, 12, size=2)
+        half_diag = float(np.hypot(sx, sy)) / 2.0
+        ring_d = abs(np.hypot(cx - cx0, cy - cy0) - radius)
+        if ring_d < corridor / 2.0 + half_diag:
+            continue  # would intrude into the drive corridor
+        h = rng.uniform(3, 12)
+        x0, x1 = cx - sx / 2, cx + sx / 2
+        y0, y1 = cy - sy / 2, cy + sy / 2
+        w.rects.append(Rect(0, x0, (y0, y1, 0.0, h)))
+        w.rects.append(Rect(0, x1, (y0, y1, 0.0, h)))
+        w.rects.append(Rect(1, y0, (x0, x1, 0.0, h)))
+        w.rects.append(Rect(1, y1, (x0, x1, 0.0, h)))
+        w.rects.append(Rect(2, h, (x0, x1, y0, y1)))
+        placed += 1
+    return w
+
+
 _OTHER_AXES = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
 
 

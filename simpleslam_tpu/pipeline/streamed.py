@@ -42,6 +42,7 @@ the tests compare against.
 
 from __future__ import annotations
 
+import os
 import threading
 from functools import partial
 from typing import List, Optional
@@ -83,9 +84,10 @@ def _batch_body(ds_stack: jax.Array, local_odoms: jax.Array, target,
     ``ds_stack`` is (K, C, 3) int16 host-downsampled padded scans (see
     UPLOAD_SCALE; the validity mask derives from the UPLOAD_PAD sentinel).
     ``local_odoms`` is (K, 4, 4) EKF local odometry (lio mode; ignored in
-    lo mode). Returns ((pose_K, pose_{K-1}, odom2map_K), packed (K, 20))
+    lo mode). Returns ((pose_K, pose_{K-1}, odom2map_K), packed (K, 21))
     where a packed row is [pose16, converged, fitness, gn_iters,
-    gn_gathers].
+    gn_gathers, n_valid] — n_valid is the final normal-equation support
+    (low support flags a starved registration long before ATE shows it).
     """
 
     def one(carry, inp):
@@ -102,10 +104,8 @@ def _batch_body(ds_stack: jax.Array, local_odoms: jax.Array, target,
             # constant-velocity prediction from the device chain
             step = geo.pose_compose(geo.pose_inverse(prev2), prev)
             init = geo.pose_compose(prev, step)
-        pose, conv, fit, iters, gathers = register_kind(pc, target, init,
-                                                        kind, degen,
-                                                        reduce_fn,
-                                                        rmax_reduce_fn)
+        pose, conv, fit, iters, gathers, support = register_kind(
+            pc, target, init, kind, degen, reduce_fn, rmax_reduce_fn)
         if clamp:  # planar clamp each frame (frontend.planar_clamp config)
             pose = geo.six_dof_to_mobile(pose)
         if mode == "lio":
@@ -114,7 +114,8 @@ def _batch_body(ds_stack: jax.Array, local_odoms: jax.Array, target,
         packed = jnp.concatenate([
             pose.reshape(16), conv.astype(jnp.float32)[None], fit[None],
             iters.astype(jnp.float32)[None],
-            gathers.astype(jnp.float32)[None]])
+            gathers.astype(jnp.float32)[None],
+            support.astype(jnp.float32)[None]])
         return (pose, prev, o2m), packed
 
     carry, packed = jax.lax.scan(
@@ -563,6 +564,17 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
         stats["n_reg"] += len(batch)
         stats["gn_iters"] += float(np.sum(stacked[: len(batch), 18]))
         stats["gn_gathers"] += float(np.sum(stacked[: len(batch), 19]))
+        sup = stacked[: len(batch), 20]
+        stats["support_sum"] = stats.get("support_sum", 0.0) + float(
+            np.sum(sup))
+        stats["support_min"] = min(stats.get("support_min", float("inf")),
+                                   float(np.min(sup)))
+        if os.environ.get("SIMPLESLAM_DEBUG_SUPPORT"):
+            for k, i in enumerate(batch):
+                print(f"scan {i} sup {int(sup[k])} conv "
+                      f"{int(stacked[k, 16])} iters {int(stacked[k, 18])} "
+                      f"pos {stacked[k, 3]:.1f},{stacked[k, 7]:.1f}",
+                      flush=True)
         tt.tic()
         for k, i in enumerate(batch):
             pose = stacked[k, :16].reshape(4, 4).astype(np.float64)
@@ -676,5 +688,7 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
             "gn_gathers_mean": round(stats["gn_gathers"] / n_reg, 3),
             "n_batches": stats["n_batches"],
             "scan_capacity": dsc,
+            "support_mean": round(stats.get("support_sum", 0.0) / n_reg, 1),
+            "support_min": int(stats.get("support_min", 0)),
         },
     )

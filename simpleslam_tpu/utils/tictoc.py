@@ -41,10 +41,15 @@ class StageTimers:
     def __init__(self) -> None:
         self.total: Dict[str, float] = defaultdict(float)
         self.count: Dict[str, int] = defaultdict(int)
+        # full sample series per stage (a few thousand floats/run): lets
+        # long-run benches report trends (e.g. backend_lag first vs last
+        # quartile), not just means
+        self.series: Dict[str, list] = defaultdict(list)
 
     def add(self, name: str, seconds: float) -> None:
         self.total[name] += seconds
         self.count[name] += 1
+        self.series[name].append(seconds)
 
     def mean(self, name: str) -> float:
         c = self.count[name]

@@ -10,7 +10,9 @@ rostools produce:
 - connection records REPEATED inside every chunk that uses them (rosbag
   behavior), with full connection headers including callerid and a LATCHED
   connection (latching=1)
-- two chunks with MIXED compression: chunk 0 'none', chunk 1 'bz2'
+- three chunks with MIXED compression: 'none', 'bz2', 'lz4' (the lz4 frame
+  hand-assembled from the frame spec with uncompressed blocks — independent
+  of bagio's own codec)
 - index data records (op=0x04, ver=1) after each chunk
 - trailing connection + chunk-info (op=0x06, ver=1) records
 
@@ -95,8 +97,28 @@ def main():
     chunk1_msgs = [
         (1, 12, 0, imu_payload(imus[1], 12)),
         (0, 12, 250000000, pc_payload(2, 12)),
-        (0, 13, 0, pc_payload(3, 13)),
     ]
+    chunk2_msgs = [
+        (0, 13, 0, pc_payload(3, 13)),
+        (1, 13, 500000000, imu_payload(imus[0], 13)),
+    ]
+
+    def lz4_frame_raw(payload):
+        """Independent spec-level LZ4 frame: magic, FLG (v01 + block
+        independence), BD (64 KB max block), header-checksum byte (xxh32 of
+        FLG+BD >> 8 = 0x82 for these flags, per the frame spec), then the
+        payload as UNCOMPRESSED blocks (size | 0x80000000) and the EndMark.
+        A legal frame every decoder accepts — and deliberately NOT built by
+        bagio's own encoder."""
+        out = bytearray()
+        out += (0x184D2204).to_bytes(4, "little")
+        out += bytes([0x60, 0x40, 0x82])
+        for i in range(0, len(payload), 65536):
+            blk = payload[i:i + 65536]
+            out += (len(blk) | 0x80000000).to_bytes(4, "little")
+            out += blk
+        out += (0).to_bytes(4, "little")
+        return bytes(out)
 
     def build_chunk(msgs):
         parts = []
@@ -121,7 +143,7 @@ def main():
     def bag_header(index_pos):
         h = fields({"op": b"\x03", "index_pos": struct.pack("<Q", index_pos),
                     "conn_count": struct.pack("<I", 2),
-                    "chunk_count": struct.pack("<I", 2)})
+                    "chunk_count": struct.pack("<I", 3)})
         pad = 4096 - 8 - len(h)
         return (struct.pack("<I", len(h)) + h
                 + struct.pack("<I", pad) + b" " * pad)
@@ -130,9 +152,12 @@ def main():
 
     chunk_info = []
     for k, (msgs, comp) in enumerate(((chunk0_msgs, b"none"),
-                                      (chunk1_msgs, b"bz2"))):
+                                      (chunk1_msgs, b"bz2"),
+                                      (chunk2_msgs, b"lz4"))):
         payload, offsets = build_chunk(msgs)
-        stored = bz2.compress(payload) if comp == b"bz2" else payload
+        stored = (bz2.compress(payload) if comp == b"bz2"
+                  else lz4_frame_raw(payload) if comp == b"lz4"
+                  else payload)
         pos = len(out)
         out += record({"op": b"\x05", "compression": comp,
                        "size": struct.pack("<I", len(payload))}, stored)

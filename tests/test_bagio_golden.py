@@ -27,13 +27,13 @@ def golden_msgs():
 
 
 def test_golden_layout_parses(golden_msgs):
-    assert len(golden_msgs) == 6
+    assert len(golden_msgs) == 7
     topics = [t for t, _, _ in golden_msgs]
-    assert topics.count("/points_latched") == 4  # incl. both chunks
-    assert topics.count("/imu") == 2
-    # messages from the bz2 chunk arrived (stamps 12.0+)
+    assert topics.count("/points_latched") == 4  # across all three chunks
+    assert topics.count("/imu") == 3
+    # messages from the bz2 chunk (12.0+) AND the lz4 chunk (13.0+) arrived
     stamps = sorted(s for _, _, s in golden_msgs)
-    assert stamps == [10.0, 10.5, 11.0, 12.0, 12.25, 13.0]
+    assert stamps == [10.0, 10.5, 11.0, 12.0, 12.25, 13.0, 13.5]
 
 
 def test_golden_payloads_decode(golden_msgs):
@@ -49,8 +49,67 @@ def test_golden_payloads_decode(golden_msgs):
 
 def test_golden_topic_filter():
     msgs = list(bagio.read_bag(GOLDEN, topics=["/imu"]))
-    assert len(msgs) == 2
+    assert len(msgs) == 3
     assert all(t == "/imu" for t, _, _ in msgs)
+
+
+def test_lz4_codec_roundtrip():
+    """Pure-python LZ4 frame codec: spec vectors + roundtrips, incl. the
+    compressed-block path (the golden fixture's lz4 chunk uses raw blocks)."""
+    # xxh32 reference vectors (the frame header checksum depends on it)
+    assert bagio._xxh32(b"") == 0x02CC5D05
+    assert bagio._xxh32(b"a") == 0x550D7456
+    assert bagio._xxh32(b"abc") == 0x32D153FF
+    rng = np.random.default_rng(3)
+    for n in (0, 1, 17, 1000, 65536, 70001, 200000):
+        data = bytes(rng.integers(0, 40, n, dtype=np.uint8))  # compressible
+        assert bagio.lz4_decompress_frame(bagio.lz4_compress_frame(data)) \
+            == data
+    rep = b"the spammish repetition " * 4096
+    frame = bagio.lz4_compress_frame(rep)
+    assert len(frame) < len(rep) // 10  # actually compressed
+    assert bagio.lz4_decompress_frame(frame) == rep
+
+
+def test_lz4_bag_roundtrip(tmp_path):
+    """write_bag(compression='lz4') -> read_bag end-to-end."""
+    rng = np.random.default_rng(11)
+    msgs = []
+    for i in range(6):
+        pc = bagio.PointCloud2(stamp=float(i), frame_id="l",
+                               xyz=rng.normal(size=(200, 3)
+                                              ).astype(np.float32),
+                               intensity=None)
+        msgs.append(("/pts", pc, float(i)))
+    p = tmp_path / "lz4.bag"
+    bagio.write_bag(str(p), msgs, chunk_msgs=2, compression="lz4")
+    got = list(bagio.read_bag(str(p)))
+    assert len(got) == 6
+    for (_, m, _), (_, w, _) in zip(got, msgs):
+        np.testing.assert_allclose(m.xyz, w.xyz, rtol=1e-6)
+
+
+def test_lz4_frame_truncation_fuzz():
+    """Truncated/corrupt lz4 frames must raise ValueError, never hang or
+    throw a low-level exception."""
+    rng = np.random.default_rng(5)
+    data = bytes(rng.integers(0, 30, 50000, dtype=np.uint8))
+    frame = bagio.lz4_compress_frame(data)
+    for cut in list(range(0, len(frame), 97)) + [len(frame) - 1]:
+        try:
+            bagio.lz4_decompress_frame(frame[:cut])
+        except ValueError:
+            pass
+    buf = bytearray(frame)
+    for _ in range(80):
+        pos = int(rng.integers(0, len(buf)))
+        old = buf[pos]
+        buf[pos] ^= 0xFF
+        try:
+            bagio.lz4_decompress_frame(bytes(buf))
+        except ValueError:
+            pass
+        buf[pos] = old
 
 
 def test_truncation_fuzz(tmp_path):
