@@ -38,7 +38,7 @@ from ..utils.config import Params
 
 def register_kind(ds: PointCloud, target: Any, init_pose: jax.Array,
                   kind: str, degen=0.0, reduce_fn=None,
-                  rmax_reduce_fn=None):
+                  rmax_reduce_fn=None, axis_reduce=None):
     """Trace-time dispatch to the configured backend:
     (pose, conv, fitness, iters, gathers).
 
@@ -47,9 +47,11 @@ def register_kind(ds: PointCloud, target: Any, init_pose: jax.Array,
     ``gathers`` counts HBM neighborhood sweeps (== iters for backends without
     a gather cache) — the utilization accounting consumes it. ``degen`` > 0
     enables LOAM's degeneracy guard (frontend.degeneracy_guard config).
-    ``reduce_fn`` (multi-chip path, LOAM only): reduces the per-shard normal
-    equations across the mesh — the executor shards scan points over the
-    ``dp`` axis and passes the fused psum here.
+    Multi-chip point sharding: ``reduce_fn``/``rmax_reduce_fn`` serve the
+    LOAM path (fused psum of the normal equations + pmax of the range
+    bound); ``axis_reduce`` (a flat-f32-vector psum) serves NDT and VGICP
+    — the executor shards scan points over the ``dp`` axis and passes the
+    mesh collectives here.
     """
     fit = jnp.float32(0.0)
     if kind == "loam":
@@ -58,10 +60,11 @@ def register_kind(ds: PointCloud, target: Any, init_pose: jax.Array,
                                rmax_reduce_fn=rmax_reduce_fn)
         pose, conv, gathers = res.pose, res.converged, res.n_gathers
     elif kind == "ndt":
-        res = ndt_ops.align(ds, target, init_pose)
+        res = ndt_ops.align(ds, target, init_pose, axis_reduce=axis_reduce)
         pose, conv, gathers = res.pose, res.converged, res.iters
     else:
-        res = vgicp_ops.align(ds, target, init_pose)
+        res = vgicp_ops.align(ds, target, init_pose,
+                              axis_reduce=axis_reduce)
         pose, conv, fit = res.pose, res.converged, res.fitness
         gathers = res.iters
     support = getattr(res, "n_valid", jnp.int32(0))

@@ -185,13 +185,32 @@ def score_only(src: PointCloud, gvm: DenseGaussianVoxelMap,
 LINE_SEARCH_ALPHAS = (4.0, 2.0, 1.0, 0.5, 0.25, 0.1)
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
+@partial(jax.jit, static_argnames=("max_iters", "axis_reduce"))
 def align(src: PointCloud, target: NdtTarget, init_pose: jax.Array,
-          max_iters: int = MAX_ITERS) -> NdtResult:
-    """Damped Newton + batched backtracking line search on the NDT score."""
+          max_iters: int = MAX_ITERS, axis_reduce=None) -> NdtResult:
+    """Damped Newton + batched backtracking line search on the NDT score.
+
+    ``axis_reduce`` (multi-chip point sharding): a function psumming a flat
+    f32 vector over the mesh axis. Per Newton iteration the sharded path
+    costs TWO collectives — one 44-float psum of (H, g, score, n) and one
+    6-float psum of the line-search candidate scores (sequential because
+    the candidates depend on the reduced step).
+    """
     d1, d2 = _gauss_coeffs(float(1.0))  # NdtRegister.cpp:13 always uses 1.0
     gvm, precisions = target.gauss, target.precisions
     alphas = jnp.asarray(LINE_SEARCH_ALPHAS, jnp.float32)
+
+    def _terms(pose):
+        H, g, score, n = score_terms(src, gvm, precisions, pose, d1, d2)
+        if axis_reduce is not None:
+            flat = axis_reduce(jnp.concatenate(
+                [H.reshape(36), g, score[None],
+                 n.astype(jnp.float32)[None]]))
+            H = flat[:36].reshape(6, 6)
+            g = flat[36:42]
+            score = flat[42]
+            n = flat[43].astype(jnp.int32)
+        return H, g, score, n
 
     def cond(carry):
         pose, it, conv, lam, _ = carry
@@ -199,7 +218,7 @@ def align(src: PointCloud, target: NdtTarget, init_pose: jax.Array,
 
     def body(carry):
         pose, it, conv, lam, _ = carry
-        H, g, score, n = score_terms(src, gvm, precisions, pose, d1, d2)
+        H, g, score, n = _terms(pose)
         diag = jnp.clip(jnp.abs(jnp.diagonal(H)), 1e-6, None)
         dx = jnp.linalg.solve(H + (lam * 1e-4) * jnp.diag(diag) +
                               1e-6 * jnp.eye(6, dtype=H.dtype), -g)
@@ -210,6 +229,8 @@ def align(src: PointCloud, target: NdtTarget, init_pose: jax.Array,
         cand_scores = jax.vmap(
             lambda P: score_only(src, gvm, precisions, P, d1, d2)
         )(cand)
+        if axis_reduce is not None:
+            cand_scores = axis_reduce(cand_scores)
         best = jnp.argmin(cand_scores)
         improved = cand_scores[best] < score
         pose_next = jnp.where(improved, cand[best], pose)
@@ -224,7 +245,11 @@ def align(src: PointCloud, target: NdtTarget, init_pose: jax.Array,
             jnp.float32(1e-2), jnp.float32(0.0))
     pose, iters, conv, _, _ = jax.lax.while_loop(cond, body, init)
     pose = geo.reorthonormalize(pose)
-    H, g, final_score, n = score_terms(src, gvm, precisions, pose, d1, d2)
-    n_pts = jnp.maximum(jnp.sum(src.mask.astype(jnp.int32)), 1)
+    _, _, final_score, n = _terms(pose)
+    n_pts = jnp.sum(src.mask.astype(jnp.int32))
+    if axis_reduce is not None:
+        n_pts = axis_reduce(n_pts.astype(jnp.float32)[None]
+                            )[0].astype(jnp.int32)
+    n_pts = jnp.maximum(n_pts, 1)
     trans_prob = -final_score / n_pts.astype(jnp.float32)
     return NdtResult(pose, conv & (n >= 6), iters, trans_prob)

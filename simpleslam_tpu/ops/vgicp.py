@@ -157,14 +157,31 @@ def _linearize(src: PointCloud, src_covs: jax.Array, src_valid: jax.Array,
     return H, g, cost, n_valid
 
 
-@partial(jax.jit, static_argnames=("max_iters", "eps"))
+@partial(jax.jit, static_argnames=("max_iters", "eps", "axis_reduce"))
 def _align_impl(src: PointCloud, src_covs, src_valid, target: VgicpTarget,
-                init_pose: jax.Array, max_iters: int, eps: float):
+                init_pose: jax.Array, max_iters: int, eps: float,
+                axis_reduce=None):
     """Damped GN with a CARRIED linearization: the trial evaluation IS the
     next iteration's linearization (accepted: keep it; rejected: keep the
     carried one) — one correspondence pass per iteration instead of two.
     Identical iterates to the step-then-cost-eval form, half the device
-    work; matters most in LC mode (up to 100 iterations per candidate)."""
+    work; matters most in LC mode (up to 100 iterations per candidate).
+
+    ``axis_reduce`` (multi-chip point sharding): psums a flat f32 vector
+    over the mesh axis — ONE 44-float psum of (H, g, cost, n) per GN
+    iteration, plus two floats for the fitness score at the end."""
+
+    def _lin(pose):
+        H, g, cost, n = _linearize(src, src_covs, src_valid, target, pose)
+        if axis_reduce is not None:
+            flat = axis_reduce(jnp.concatenate(
+                [H.reshape(36), g, cost[None],
+                 n.astype(jnp.float32)[None]]))
+            H = flat[:36].reshape(6, 6)
+            g = flat[36:42]
+            cost = flat[42]
+            n = flat[43].astype(jnp.int32)
+        return H, g, cost, n
 
     def cond(carry):
         pose, it, conv, lam, _, _, _, _ = carry
@@ -175,8 +192,7 @@ def _align_impl(src: PointCloud, src_covs, src_valid, target: VgicpTarget,
         diag = jnp.clip(jnp.diagonal(H), 1e-6, None)
         dx = jnp.linalg.solve(H + lam * jnp.diag(diag), -g)
         new_pose = geo.pose_compose(geo.se3_exp(dx), pose)
-        H2, g2, cost2, n2 = _linearize(src, src_covs, src_valid, target,
-                                       new_pose)
+        H2, g2, cost2, n2 = _lin(new_pose)
         improved = cost2 < cost
         gain = cost - cost2  # chi2 improvement of the trial (pre-update)
         pose = jnp.where(improved, new_pose, pose)
@@ -196,28 +212,35 @@ def _align_impl(src: PointCloud, src_covs, src_valid, target: VgicpTarget,
         starved = n < 6
         return (pose, it + 1, conv_next | starved, lam, H, g, cost, n)
 
-    H0, g0, cost0, n0 = _linearize(src, src_covs, src_valid, target,
-                                   init_pose.astype(jnp.float32))
+    H0, g0, cost0, n0 = _lin(init_pose.astype(jnp.float32))
     init = (init_pose.astype(jnp.float32), jnp.int32(0), jnp.array(False),
             jnp.float32(1e-6), H0, g0, cost0, n0)
     pose, iters, conv, _, _, _, _, n = jax.lax.while_loop(cond, body, init)
     pose = geo.reorthonormalize(pose)
-    fit = fitness_score(src, target.pts, pose)
+    fit = fitness_score(src, target.pts, pose, axis_reduce=axis_reduce)
     return VgicpResult(pose, conv & (n >= 6), iters, fit)
 
 
 def align(src: PointCloud, target: VgicpTarget, init_pose: jax.Array,
-          lc_mode: bool = False) -> VgicpResult:
+          lc_mode: bool = False, axis_reduce=None) -> VgicpResult:
+    """``axis_reduce`` shards over points: source covariances are computed
+    from the SHARD's own neighborhood window (the host prep spatially sorts
+    scan points, so shards are spatially coherent blocks and only
+    shard-boundary voxels see a thinned neighborhood — immaterial under the
+    PLANE regularization, which keeps only the eigenvector frame)."""
     src_covs, src_valid = source_covariances(src)
     if lc_mode:
         return _align_impl(src, src_covs, src_valid, target, init_pose,
-                           max_iters=LC_MAX_ITERS, eps=LC_CONVERGE_EPS)
+                           max_iters=LC_MAX_ITERS, eps=LC_CONVERGE_EPS,
+                           axis_reduce=axis_reduce)
     return _align_impl(src, src_covs, src_valid, target, init_pose,
-                       max_iters=MAX_ITERS, eps=CONVERGE_EPS)
+                       max_iters=MAX_ITERS, eps=CONVERGE_EPS,
+                       axis_reduce=axis_reduce)
 
 
-@jax.jit
-def fitness_score(src: PointCloud, target_pts: DenseVoxelMap, pose: jax.Array) -> jax.Array:
+@partial(jax.jit, static_argnames=("axis_reduce",))
+def fitness_score(src: PointCloud, target_pts: DenseVoxelMap,
+                  pose: jax.Array, axis_reduce=None) -> jax.Array:
     """Mean squared NN distance of the aligned source (PCL getFitnessScore).
 
     NN search is bounded by the voxel neighborhood (radius 1 of the target
@@ -229,5 +252,9 @@ def fitness_score(src: PointCloud, target_pts: DenseVoxelMap, pose: jax.Array) -
     sq, _, valid = knn_dense(target_pts, p_map, src.mask, k=1, radius=1)
     d2 = sq[:, 0]
     ok = valid[:, 0] & src.mask
-    n = jnp.maximum(jnp.sum(ok.astype(jnp.int32)), 1)
-    return jnp.sum(jnp.where(ok, d2, 0.0)) / n.astype(d2.dtype)
+    num = jnp.sum(jnp.where(ok, d2, 0.0))
+    den = jnp.sum(ok.astype(jnp.float32))
+    if axis_reduce is not None:
+        flat = axis_reduce(jnp.stack([num, den]))
+        num, den = flat[0], flat[1]
+    return num / jnp.maximum(den, 1.0)

@@ -76,7 +76,7 @@ def _batch_body(ds_stack: jax.Array, local_odoms: jax.Array, target,
                 pose_prev: jax.Array, pose_prev2: jax.Array,
                 odom2map: jax.Array, kind: str, mode: str,
                 clamp: bool, degen: float, reduce_fn=None,
-                rmax_reduce_fn=None):
+                rmax_reduce_fn=None, axis_reduce=None):
     """K odometry steps as ONE program: ``lax.scan`` over the scan axis
     (trace-time body, shared by the single-device jit and the mesh-sharded
     wrapper — ``reduce_fn`` reduces per-shard normal equations there).
@@ -105,7 +105,8 @@ def _batch_body(ds_stack: jax.Array, local_odoms: jax.Array, target,
             step = geo.pose_compose(geo.pose_inverse(prev2), prev)
             init = geo.pose_compose(prev, step)
         pose, conv, fit, iters, gathers, support = register_kind(
-            pc, target, init, kind, degen, reduce_fn, rmax_reduce_fn)
+            pc, target, init, kind, degen, reduce_fn, rmax_reduce_fn,
+            axis_reduce)
         if clamp:  # planar clamp each frame (frontend.planar_clamp config)
             pose = geo.six_dof_to_mobile(pose)
         if mode == "lio":
@@ -141,11 +142,13 @@ def make_sharded_batch(mesh, kind: str, mode: str, clamp: bool, degen: float,
 
     The BASELINE.json north star made executable: each batch's (K, C, 3)
     scan stack is partitioned along the point axis, every device runs the
-    full GN chain on its point shard against the replicated submap target,
-    and per-iteration normal equations ride ONE fused 43-float psum over
-    ICI. The sequential pose chain / odom2map logic is replicated (it is
-    scalar work). Cached per (mesh, config) so repeat calls reuse the
-    compiled program.
+    full solver chain on its point shard against the replicated submap
+    target, and per-iteration reductions ride fused psums over ICI (LOAM:
+    one 43-float psum/GN iteration; NDT: 44-float + line-search psums;
+    VGICP: one 44-float psum/GN iteration — see each op's ``axis_reduce``).
+    The sequential pose chain / odom2map logic is replicated (it is scalar
+    work). Cached per (mesh, config) so repeat calls reuse the compiled
+    program.
     """
     key = (id(mesh), kind, mode, clamp, degen, axis)
     fn = _SHARDED_BATCH_CACHE.get(key)
@@ -164,7 +167,8 @@ def make_sharded_batch(mesh, kind: str, mode: str, clamp: bool, degen: float,
         return _batch_body(ds_stack, local_odoms, target, pose_prev,
                            pose_prev2, odom2map, kind, mode, clamp, degen,
                            fused_psum,
-                           lambda r: jax.lax.pmax(r, axis))
+                           lambda r: jax.lax.pmax(r, axis),
+                           lambda v: jax.lax.psum(v, axis))
 
     sm = jax.shard_map(
         body, mesh=mesh,
@@ -403,9 +407,6 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
     # (models/backend.py picks the mesh up from the same config key)
     mesh_n = int(cfg["tpu"].get("mesh_devices", 0))
     if mesh_n:
-        if kind != "loam":
-            raise ValueError("tpu.mesh_devices currently shards the loam "
-                             f"register only (configured pcr: {kind})")
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh(mesh_n, ("dp",))
