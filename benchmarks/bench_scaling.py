@@ -62,7 +62,13 @@ def run(worker: str, n_hosts: int, payload: dict, pin: bool = True) -> dict:
 
 
 def _pg_payload(k: int, reps: int) -> dict:
-    return {"k": k, "k_cap": k, "e_cap": 4 * k, "n_lc": k // 2,
+    # e_cap sized like the production backend's buckets (~25 % headroom
+    # over the real edge count, rounded to a mesh-divisible boundary) —
+    # padding edges cost real matvec work in EVERY CG iteration, and a
+    # 4k envelope would charge the solve 2.7x phantom edges
+    n_e = k + k // 2
+    e_cap = -(-int(n_e * 1.25) // 256) * 256
+    return {"k": k, "k_cap": k, "e_cap": e_cap, "n_lc": k // 2,
             "max_iters": LM_ITERS, "cg_iters": CG_ITERS, "reps": reps,
             "drift": 0.05}
 
@@ -137,7 +143,11 @@ def _pg_mode(tag: str, payload: dict, n_max: int, per_coll: float,
     pg["n_collectives"] = n_coll
     pg["collective_s"] = round(coll_s, 4)
     pg["measured_efficiency"] = round(t1 / (n_max * tn), 3)
-    pg["compute_efficiency"] = round(t1 / (n_max * max(tn - coll_s, 1e-9)), 3)
+    # latency-subtracted efficiency is meaningless when collectives are
+    # most of the wall (the residual is noise) — report null there
+    pg["compute_efficiency"] = (
+        round(t1 / (n_max * (tn - coll_s)), 3)
+        if coll_s < 0.5 * tn else None)
     pg["mode"] = tag
     return pg
 
@@ -177,8 +187,38 @@ def main() -> int:
         (1 + LM_ITERS) + LM_ITERS * (1 + CG_ITERS))
     best = max(pg_rep, pg_shard, key=lambda p: p["measured_efficiency"])
     out["posegraph"] = dict(best)
+    # the round-1..3 artifacts padded e_cap to a 4k envelope; the bucketed
+    # payload above is ~2x faster ABSOLUTE (no phantom matvec edges) but
+    # its scalable fraction is thinner, so the efficiency RATIO reads
+    # lower. Both are reported: efficiency is a property of (algorithm,
+    # workload), and shrinking the workload is not a regression.
+    pg_env = _pg_mode("replicated_cg_4k_envelope",
+                      {**pg_payload, "e_cap": 4 * k}, n_max, per_coll,
+                      1 + LM_ITERS)
     out["posegraph_modes"] = {"replicated_cg": pg_rep,
-                              "sharded_cg": pg_shard}
+                              "sharded_cg": pg_shard,
+                              "replicated_cg_4k_envelope": pg_env}
+    # what the sharded mode's wall clock becomes when its collectives cost
+    # ICI latency (~25 us) instead of this harness's measured gRPC latency:
+    # the quantity that carries to a real pod slice
+    n_sh = pg_shard["n_collectives"]
+    t1s, tns = pg_shard["1"]["best_s"], pg_shard[str(n_max)]["best_s"]
+    # subtracting the probed latency is an UPPER BOUND (residual compute
+    # after subtraction can be noise-dominated when collectives are most
+    # of the wall) — clamp at 1.0
+    tns_ici = max(tns - n_sh * (per_coll - 25e-6), t1s / n_max)
+    out["posegraph_ici_projection"] = {
+        "assumed_collective_us": 25,
+        "sharded_cg_efficiency_upper_bound": round(
+            min(t1s / (n_max * tns_ici), 1.0), 3),
+        "note": ("raw 2-host efficiency on this harness is bounded by "
+                 "~4 ms/collective gRPC latency and 2-core scheduling "
+                 "noise; the replicated mode amortizes latency (7 "
+                 "collectives/solve), the sharded mode amortizes compute "
+                 "(no replicated O(E) work) - the right mode per link is "
+                 "a config choice, and the virtual-device curve shows the "
+                 "sharded mode is the one that scales with device count"),
+    }
 
     # --- single-process virtual-device curve (sharding overhead only) -------
     out["posegraph_virtual_devices"] = virtual_curve(k, reps)

@@ -78,7 +78,14 @@ class LoopClosureManager:
 
         self.register = VgicpRegister()
         self.register.init_for_lc()
-        self.lc_queue: SafeDeque[LCResult] = SafeDeque(10)
+        # accepted-closure queue: bounded (drop-oldest with counting) like
+        # every inter-thread queue here, but sized for a whole dense-revisit
+        # handler pass — one pass over a keyframe burst can accept more than
+        # ten closures before the backend's next drain, and each entry is a
+        # 4x4 + two ints (config: backend.lc.queueSize)
+        self._lc_queue_cap = int(
+            cfg["backend"]["lc"].get("queueSize", 128))
+        self.lc_queue: SafeDeque[LCResult] = SafeDeque(self._lc_queue_cap)
         self._ctx_capacity = int(cfg["tpu"]["ds_scan_capacity"])
         # amortized verification: the history-submap target for a given
         # old_key is identical across candidates until any pose in its
@@ -89,6 +96,11 @@ class LoopClosureManager:
         self._target_cache: dict = {}
         self._target_cache_max = 8
         self.dropped_closures = 0  # accepted-but-dropped (queue overflow)
+        # detector funnel counters (observability: queries -> retrieval
+        # candidates -> verifications -> accepts = n_lc_edges on the backend)
+        self.n_queries = 0
+        self.n_candidates = 0
+        self.n_verify_converged = 0
 
     @property
     def n_contexts(self) -> int:
@@ -122,10 +134,12 @@ class LoopClosureManager:
         # one chunked dispatch + fetch for ALL new contexts' retrievals
         # (each scalar query costs a full link round-trip)
         queries = self.context.query_many(new_ids)
+        self.n_queries += len(new_ids)
         for i, q in zip(new_ids, queries):
             old_key = q.idx
             if old_key < 0:
                 continue
+            self.n_candidates += 1
             self.lg.info("%d to %d min dist: %.4f", i, old_key, q.min_dist)
 
             with self.kf_obj.lock:
@@ -173,9 +187,10 @@ class LoopClosureManager:
             fs = self.register.get_fitness_score()
             self.lg.info("%d to %d fitness score: %.4f (conv=%s)",
                          old_key, i, fs, conv)
+            self.n_verify_converged += bool(conv)
             if conv and fs < self.fitness_thresh:
                 between = np.linalg.inv(old_pose) @ refined
-                if len(self.lc_queue) >= 10:
+                if len(self.lc_queue) >= self._lc_queue_cap:
                     # drop-oldest overflow loses an ACCEPTED factor — count
                     # and log it instead of silently shrinking the graph
                     # (the backend drains this queue on the next LC event,
