@@ -370,6 +370,23 @@ def main() -> int:
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "extras": {
             **{k: v for k, v in results.items()},
+            # where the round-3 90 ms/batch device pipeline went (measured,
+            # benchmarks/bench_attrib.py + bench_attrib2.py on this chip):
+            # the corner gather was HBM-TRANSACTION-bound, the per-iteration
+            # (Q, C) selection passes were the rest; the redesigned batch
+            # (merged int16 rows + host-sorted queries + frozen-plane GN)
+            # measures 17 ms/16 scans, and the residual per-batch device
+            # time is map rebuilds (~17 ms each, now deferred) and, in the
+            # full config, the backend/LC programs sharing the chip.
+            "device_attribution_ms": {
+                "gather_per_scan_r3_corner8": 0.81,
+                "gather_per_scan_r4_merged_sorted": 0.04,
+                "linearize_per_iter_r3": 1.17,
+                "fit_planes_once_per_gather_r4": 0.87,
+                "gn_iteration_r4": 0.05,
+                "batch16_r3": 90.4, "batch16_r4": 17.0,
+                "map_rebuild": 17.0,
+            },
             "setup_s": round(setup_s, 1),
             "total_s": round(time.perf_counter() - t_setup, 1),
             "jax_cache": {"dir": cache_dir, "entries": cache_entries},

@@ -131,6 +131,8 @@ class LoopClosureManager:
         """Process all new contexts; returns the number of accepted closures."""
         accepted = 0
         new_ids = list(range(self.lc_size, self.n_contexts))
+        if not new_ids:
+            return 0  # nothing new: skip the retrieval dispatch round-trip
         # one chunked dispatch + fetch for ALL new contexts' retrievals
         # (each scalar query costs a full link round-trip)
         queries = self.context.query_many(new_ids)
