@@ -62,6 +62,9 @@ def lc_run():
     Params.load({
         "mode": "lo",
         "frontend": {"pcr": "loam"},
+        # the courtyard world spans +-40 m: the default +-96 m registration
+        # window wastes 5x the voxel rows of CPU build work per rebuild
+        "tpu": {"dense_grid_dims": [128, 128, 32]},
         "backend": {
             "enable": True,
             "lc": {"enable": True, "historySubmapRange": 2,
@@ -174,6 +177,9 @@ def multi_loop_run():
     Params.load({
         "mode": "lo",
         "frontend": {"pcr": "loam"},
+        # the courtyard world spans +-40 m: the default +-96 m registration
+        # window wastes 5x the voxel rows of CPU build work per rebuild
+        "tpu": {"dense_grid_dims": [128, 128, 32]},
         "backend": {
             "enable": True,
             "lc": {"enable": True, "historySubmapRange": 2,
