@@ -178,8 +178,13 @@ class Backend:
             self.n_lc_edges += len(self.edge_i) - n0
 
     # -- the optimization pass (Backend.cpp:270-346) --------------------------
-    def optim_once(self) -> bool:
-        """One event-driven pass; returns True if a solve ran."""
+    def optim_once(self, pre_fetch_hook=None) -> bool:
+        """One event-driven pass; returns True if a solve ran.
+
+        ``pre_fetch_hook`` (link-latency hiding): called after the solve is
+        DISPATCHED but before its blocking result fetch — the streamed
+        worker passes the loop-closure retrieval dispatch here so both
+        round-trips ride the link concurrently."""
         with self.kf_obj.lock:
             event = self.kf_obj.get_and_reset_event()
             if event == KFEvent.NONE:
@@ -198,7 +203,8 @@ class Backend:
 
         if not kf_poses or self.prior_pose is None:
             return False
-        opt = self._solve(kf_poses, strong=bool(event & KFEvent.LC))
+        opt = self._solve(kf_poses, strong=bool(event & KFEvent.LC),
+                          pre_fetch_hook=pre_fetch_hook)
 
         with self.kf_obj.lock:
             kfs = self.kf_obj.keyframes
@@ -221,7 +227,8 @@ class Backend:
         self.last_delta = delta
         return True
 
-    def _solve(self, kf_poses: List[np.ndarray], strong: bool) -> List[np.ndarray]:
+    def _solve(self, kf_poses: List[np.ndarray], strong: bool,
+               pre_fetch_hook=None) -> List[np.ndarray]:
         k = len(kf_poses)
         with self._lock:
             e = len(self.edge_i)
@@ -243,6 +250,8 @@ class Backend:
             res = pgo.solve(g, max_iters=iters, cg_iters=64)
         # keep the optimized poses device-resident for the next event
         self._g = g._replace(poses=res.poses)
+        if pre_fetch_hook is not None:
+            pre_fetch_hook()  # overlap other dispatches with the fetch below
         packed = np.asarray(_pack_solve(res.poses, res.cost0, res.cost,
                                         res.iters))  # ONE fetch per event
         cost0, cost, n_it = packed[-3], packed[-2], packed[-1]

@@ -48,6 +48,28 @@ def _ingest(descs, ring_keys, i, xyz, mask, lidar_height):
     return descs.at[i].set(d), ring_keys.at[i].set(sc.ring_key(d))
 
 
+# store-side ingest: ONE dispatch builds up to _CTX_CHUNK descriptors
+# straight from the device-resident keyframe store (pipeline/streamed.py
+# uploads each keyframe cloud exactly once) — the host-cloud path re-ships
+# ~96 KB per context over the link for data the device already holds.
+@partial(jax.jit, donate_argnums=(0, 1))
+def _ingest_from_store(descs, ring_keys, store, row_idx, ctx_idx, val,
+                       lidar_height):
+    cap = descs.shape[0]
+
+    def body(k, carry):
+        de, rk = carry
+        xyz = store[row_idx[k]]
+        mask = (xyz[:, 0] < 0.5 * pcops.PAD_COORD) & val[k]
+        d = sc.make_descriptor(xyz, mask, lidar_height)
+        i = jnp.where(val[k], ctx_idx[k], cap)  # cap = OOB -> dropped
+        de = de.at[i].set(d, mode="drop")
+        rk = rk.at[i].set(sc.ring_key(d), mode="drop")
+        return de, rk
+
+    return jax.lax.fori_loop(0, row_idx.shape[0], body, (descs, ring_keys))
+
+
 # Batched retrieval: a keyframe EVENT usually carries several new contexts
 # (the backend coalesces keyframes that landed since its last pass), and each
 # scalar query costs a blocking link round-trip for its 3-scalar result. One
@@ -152,9 +174,35 @@ class ScanContext(ContextBase):
         idx, yaw, min_dist = np.asarray(_pack_query(q))  # one fetch
         return QueryResult(int(idx), float(yaw), float(min_dist))
 
-    def query_many(self, qids) -> "list[QueryResult]":
-        """Chunked batch query: one dispatch + ONE fetch per _CTX_CHUNK ids."""
-        out: list[QueryResult] = []
+    def add_contexts_from_store(self, store, kf_indices) -> None:
+        """Batched device-side ingest from the resident keyframe store:
+        ONE dispatch per _CTX_CHUNK new keyframes, zero cloud upload."""
+        idx = list(kf_indices)
+        for lo in range(0, len(idx), _CTX_CHUNK):
+            chunk = idx[lo: lo + _CTX_CHUNK]
+            rows = np.zeros(_CTX_CHUNK, np.int32)
+            cids = np.zeros(_CTX_CHUNK, np.int32)
+            val = np.zeros(_CTX_CHUNK, bool)
+            for c, kf_i in enumerate(chunk):
+                if self.n_contexts >= self._cap:
+                    self.lg.error("context capacity (%d) exceeded!",
+                                  self._cap)
+                    break
+                rows[c] = kf_i
+                cids[c] = self.n_contexts
+                val[c] = True
+                self.n_contexts += 1
+            self.descs, self.ring_keys = _ingest_from_store(
+                self.descs, self.ring_keys, store, jnp.asarray(rows),
+                jnp.asarray(cids), jnp.asarray(val),
+                jnp.float32(self.lidar_height))
+
+    def query_dispatch(self, qids):
+        """Dispatch the chunked retrievals WITHOUT fetching — returns an
+        opaque handle for ``query_collect``. Lets the caller overlap the
+        retrieval's link round-trip with other blocking fetches (the
+        backend's solve fetch)."""
+        pend = []
         for lo in range(0, len(qids), _CTX_CHUNK):
             chunk = list(qids[lo: lo + _CTX_CHUNK])
             ids = np.zeros(_CTX_CHUNK, np.int32)
@@ -162,15 +210,27 @@ class ScanContext(ContextBase):
             for c, q in enumerate(chunk):
                 ids[c] = q
                 val[c] = True
-            packed = np.asarray(_query_batch(
+            arr = _query_batch(
                 self.descs, self.ring_keys, jnp.asarray(ids),
                 jnp.asarray(val), jnp.int32(self.num_exclude_recent),
                 jnp.float32(self.dist_thres),
-                num_candidates=self.num_candidates))
-            for c in range(len(chunk)):
+                num_candidates=self.num_candidates)
+            pend.append((len(chunk), arr))
+        return pend
+
+    @staticmethod
+    def query_collect(pend) -> "list[QueryResult]":
+        out: list[QueryResult] = []
+        for n, arr in pend:
+            packed = np.asarray(arr)
+            for c in range(n):
                 out.append(QueryResult(int(packed[c, 0]), float(packed[c, 1]),
                                        float(packed[c, 2])))
         return out
+
+    def query_many(self, qids) -> "list[QueryResult]":
+        """Chunked batch query: one dispatch + ONE fetch per _CTX_CHUNK ids."""
+        return self.query_collect(self.query_dispatch(qids))
 
     @staticmethod
     def _npy_path(path: str) -> str:

@@ -110,10 +110,40 @@ class LoopClosureManager:
     def add_context(self) -> None:
         kfs = self.kf_obj.keyframes
         n0 = self.context.n_contexts
+        new = list(range(n0, len(kfs)))
+        if not new:
+            return
+        # device-store fast path: keyframe clouds already live on the chip
+        # (row index == keyframe index, pipeline/streamed.py), so the
+        # descriptor ingest needs no cloud upload at all. Valid when the
+        # context's own downsample grid matches the stored clouds' grid
+        # (they are the same prep output then).
+        store = getattr(self.map_manager, "_kf_store", None)
+        cfg = Params.get_instance()
+        grid_ok = abs(self.context_ds
+                      - float(cfg["downSampleVoxelGridSize"])) < 1e-9
+        if (store is not None and grid_ok
+                and hasattr(self.context, "add_contexts_from_store")):
+            # dispatch under the store lock: the main thread's donated row
+            # updates must not invalidate the handle mid-dispatch
+            with self.map_manager.kf_store_lock:
+                self.context.add_contexts_from_store(
+                    self.map_manager._kf_store, new)
+            return
         items = [(native.voxel_downsample_first(kfs[i].xyz, self.context_ds),
-                  kfs[i].pose) for i in range(n0, len(kfs))]
+                  kfs[i].pose) for i in new]
         if items:  # one chunked dispatch for the whole event's new contexts
             self.context.add_contexts(items)
+
+    # -- retrieval overlap (no reference counterpart: link-latency hiding) ----
+    def dispatch_queries(self) -> None:
+        """Dispatch the new contexts' retrievals WITHOUT fetching, so the
+        round-trip overlaps the backend's blocking solve fetch; the next
+        ``lc_handler_once`` collects the in-flight results."""
+        new_ids = list(range(self.lc_size, self.n_contexts))
+        if new_ids and hasattr(self.context, "query_dispatch"):
+            self._pending_queries = (new_ids,
+                                     self.context.query_dispatch(new_ids))
 
     # -- history submap (LoopClosureManager.cpp:40-60; call under kf lock) -----
     def _history_submap(self, key: int) -> np.ndarray:
@@ -134,8 +164,15 @@ class LoopClosureManager:
         if not new_ids:
             return 0  # nothing new: skip the retrieval dispatch round-trip
         # one chunked dispatch + fetch for ALL new contexts' retrievals
-        # (each scalar query costs a full link round-trip)
-        queries = self.context.query_many(new_ids)
+        # (each scalar query costs a full link round-trip); an overlapped
+        # pre-dispatch from ``dispatch_queries`` is collected if it covers
+        # exactly these ids
+        pend = getattr(self, "_pending_queries", None)
+        self._pending_queries = None
+        if pend is not None and pend[0] == new_ids:
+            queries = self.context.query_collect(pend[1])
+        else:
+            queries = self.context.query_many(new_ids)
         self.n_queries += len(new_ids)
         for i, q in zip(new_ids, queries):
             old_key = q.idx

@@ -132,6 +132,12 @@ class MapManager:
         self._set_update = threading.Event()
         self._static_pcd_cloud: Optional[np.ndarray] = None
         self._kf_store: Optional[jax.Array] = None
+        # guards the DONATED in-place row updates of the device keyframe
+        # store against concurrent readers that dispatch from it (the
+        # backend worker's descriptor ingest): a reader must grab the
+        # current handle and dispatch under this lock, else the donation
+        # can invalidate the handle between read and dispatch
+        self.kf_store_lock = threading.Lock()
 
         if self.is_mapping:
             if self.save_map_dir:
@@ -293,8 +299,9 @@ class MapManager:
         row = np.full((self.kf_capacity, 3), pcops.PAD_COORD, np.float32)
         n = min(len(xyz), self.kf_capacity)
         row[:n] = xyz[:n]
-        self._kf_store = _set_kf_row(self._kf_store, jnp.int32(idx),
-                                     jnp.asarray(row))
+        with self.kf_store_lock:
+            self._kf_store = _set_kf_row(self._kf_store, jnp.int32(idx),
+                                         jnp.asarray(row))
 
     # how far the anchor may drift from the last built target's center
     # before a rebuild is forced even with an unchanged keyframe window:

@@ -227,7 +227,9 @@ class _BackendWorker:
                     stamp = kf.event_stamp
                 sys_ = self.system
                 tt.tic()
-                if sys_.backend.optim_once():
+                hook = (sys_.loop_closure.dispatch_queries
+                        if sys_.loop_closure is not None else None)
+                if sys_.backend.optim_once(pre_fetch_hook=hook):
                     self._push(sys_.backend.last_delta)
                 self.timers.add("backend", tt.toc())
                 # how far the resident worker runs behind the odometry loop

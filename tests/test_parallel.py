@@ -73,6 +73,43 @@ def test_sharded_scan2map_dense_path(reg_fixture):
     )
 
 
+def test_sharded_ndt_vgicp_match_single_device(reg_fixture):
+    """NDT and VGICP sharded batch programs must match their single-device
+    counterparts (the axis_reduce hook sums exactly what the local path
+    sums, so only reduction order differs)."""
+    import jax.numpy as jnp
+
+    from simpleslam_tpu.ops import ndt as ndt_ops
+    from simpleslam_tpu.ops import vgicp as vgicp_ops
+    from simpleslam_tpu.pipeline.streamed import (make_sharded_batch,
+                                                  UPLOAD_PAD, UPLOAD_SCALE,
+                                                  _streamed_batch)
+
+    src, _, guess = reg_fixture
+    xyz = np.asarray(src.xyz)
+    q = np.where(np.asarray(src.mask)[:, None],
+                 np.clip(np.rint(xyz / UPLOAD_SCALE), -32766, 32766),
+                 float(UPLOAD_PAD)).astype(np.int16)
+    rows = jnp.asarray(np.tile(q[None], (2, 1, 1)))
+    eyes = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (2, 1, 1)))
+    map_pc = pcops.PointCloud(src.xyz, src.intensity, src.mask)
+    center = jnp.zeros(3, jnp.float32)
+    mesh = make_mesh(8, ("dp",))
+    for kind, tgt in (("ndt", ndt_ops.build_target(map_pc, 1.0, center,
+                                                   dims=(24, 24, 12))),
+                      ("vgicp", vgicp_ops.build_target(map_pc, 1.0, center,
+                                                       dims=(24, 24, 12)))):
+        (_, _, _), p_single = _streamed_batch(
+            rows, eyes, tgt, guess, guess, jnp.eye(4, dtype=jnp.float32),
+            kind, "lo")
+        fn = make_sharded_batch(mesh, kind, "lo", True, 0.0)
+        (_, _, _), p_mesh = fn(rows, eyes, tgt, guess, guess,
+                               jnp.eye(4, dtype=jnp.float32))
+        np.testing.assert_allclose(np.asarray(p_mesh)[:, :16],
+                                   np.asarray(p_single)[:, :16],
+                                   atol=5e-3, err_msg=kind)
+
+
 def test_dryrun_multichip_entrypoint():
     import sys
     sys.path.insert(0, "/root/repo")
