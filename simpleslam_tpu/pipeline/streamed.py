@@ -64,11 +64,12 @@ from .app import SlamResult, SlamSystem
 
 
 # Scan rows cross the host link quantized to int16 at UPLOAD_SCALE meters
-# per count (~2.5 mm over +-81.9 m — below sensor noise): the upload
-# transfer serializes ahead of the batch on the device queue, and halving
-# its bytes is worth ~6-10 ms/batch through the tunnel. 32767 is the
-# padding sentinel.
-UPLOAD_SCALE = 82.0 / 32767.0
+# per count (~3.8 mm over +-125 m — below sensor noise, and wide enough for
+# long-range sensors like the KITTI HDL-64's ~120 m returns; coordinates
+# beyond the range clip): the upload transfer serializes ahead of the batch
+# on the device queue, and halving its bytes is worth ~6-10 ms/batch
+# through the tunnel. 32767 is the padding sentinel.
+UPLOAD_SCALE = 125.0 / 32767.0
 UPLOAD_PAD = np.int16(32767)
 
 
