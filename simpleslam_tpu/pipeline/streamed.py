@@ -454,8 +454,10 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
             local_np[k, 1, 3] = s[1]
         timers.add("ekf_replay", tt.toc())
 
-    sort_grid = (system.register.TARGET_GRID
-                 if hasattr(system.register, "TARGET_GRID") else 0.0)
+    # spatial-sort grid: the LOAM dense-map grid, or the NDT/VGICP voxel
+    # resolution (their Gaussian lookups coalesce the same way)
+    sort_grid = getattr(system.register, "TARGET_GRID",
+                        getattr(system.register, "RESOLUTION", 0.0))
     prep = _ScanPrep(streams.scans, grid, dsc, sort_grid=float(sort_grid))
     worker = (_BackendWorker(system, timers)
               if system.backend is not None else None)
