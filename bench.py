@@ -165,7 +165,7 @@ def _spiral_streams(sim, world, n_scans, r0=40.0, lap_gap=1.8, step=0.3,
                              np.zeros((0, 4)))
 
 
-def run_longrun(sim, app, run_streamed, n_scans=1280):
+def run_longrun(sim, app, run_streamed, n_scans=1536):
     """Long-run scale config: ~1.2 spiral laps of a large loop, LC on,
     ~250 keyframes — the regime the short headline runs never reach.
     Reports the evidence the short configs cannot: backend-lag trend
@@ -183,12 +183,12 @@ def run_longrun(sim, app, run_streamed, n_scans=1280):
     # dozen scans, then divergence). make_loop_world keeps the drive
     # corridor clear — the simulator's road.
     world = sim.make_loop_world(seed=0, radius=40.0)
-    # 0.3 m/scan spiral: 384 m arc = ~1.45 laps -> ~300 keyframes (bucket
-    # 128 -> 512 growth mid-run) with a ~0.45-lap, ~1.8 m-offset revisit
+    # 0.3 m/scan spiral: 461 m arc = ~1.8 laps -> ~370 keyframes (bucket
+    # 128 -> 512 growth mid-run) with a ~0.8-lap, ~1.8 m-offset revisit
     # stream for LC (retrieval acceptance near the 0.4 descriptor threshold
-    # is jittery run-to-run; a longer revisit keeps the accepted count
+    # is jittery run-to-run; a long revisit keeps the accepted count
     # comfortably above the >= 3 evidence bar). az 720 x el 12 keeps the
-    # 1280-scan world sim inside the bench budget.
+    # 1536-scan world sim inside the bench budget.
     streams = _spiral_streams(sim, world, n_scans)
     sim_s = time.perf_counter() - t0
     Params.load({"mode": "lo",
