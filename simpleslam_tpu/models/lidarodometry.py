@@ -140,7 +140,14 @@ class LidarOdometry:
         if mm.is_submap_empty():
             self.lg.warn("at first, no submap here for now, build the map!!")
             mm.put_keyframe(kf)
-            mm.notify_update_map()
+            # Build the first submap SYNCHRONOUSLY: the reference can afford
+            # to just notify its map thread (the C++ build is ms-fast,
+            # MapManager.cpp:151-201), but here the first build pays a
+            # one-time XLA compile — an async notify would let every scan
+            # until it finishes skip registration and dead-reckon (measured:
+            # 26 of 40 scans in threaded mode, ATE 3.4 m). Blocking this one
+            # scan keeps bag-mode backpressure honest instead.
+            mm.update_map()
         else:
             self._select_keyframe(kf)
 

@@ -217,6 +217,7 @@ def voxel_downsample_sort_quant_batch(scans, grid: float, capacity: int,
         rows, cnts = voxel_downsample_centroid_pad_batch(
             scans, grid, capacity, 0.0, max_pts)
         out = np.full((b, capacity, 3), np.int16(32767), np.int16)
+        cnts = np.asarray(cnts).copy()
         for k in range(b):
             c = int(cnts[k])
             pts = rows[k][:c]
@@ -224,8 +225,13 @@ def voxel_downsample_sort_quant_batch(scans, grid: float, capacity: int,
                 v = np.floor(pts / sort_grid).astype(np.int64) + (1 << 20)
                 key = (v[:, 0] << 42) + (v[:, 1] << 21) + v[:, 2]
                 pts = pts[np.argsort(key)]
-            out[k][:c] = np.clip(np.rint(pts / quant_scale), -32766, 32766
-                                 ).astype(np.int16)
+            q = np.rint(pts / quant_scale)
+            # drop (don't clamp) returns outside the quantization range —
+            # clamping created phantom points pinned to the +-125 m box
+            keep = np.all(np.abs(q) <= 32766, axis=1)
+            q = q[keep]
+            out[k][: len(q)] = q.astype(np.int16)
+            cnts[k] = len(q)
         return out, cnts
     flat = [_f32c(np.asarray(s).reshape(-1, 3)) for s in scans]
     concat = (np.concatenate(flat, axis=0) if flat

@@ -265,21 +265,29 @@ void voxel_downsample_sort_quant_batch(
         }
         int16_t* o = out + 3 * capacity * c;
         const float qinv = 1.0f / quant_scale;
+        int64_t w = 0;
         for (int64_t k = 0; k < m; ++k) {
             const float* p = tmp.data() + 3 * idx[k];
-            for (int d = 0; d < 3; ++d) {
-                float q = std::nearbyint(p[d] * qinv);
-                if (q > 32766.0f) q = 32766.0f;
-                if (q < -32766.0f) q = -32766.0f;
-                o[3 * k + d] = static_cast<int16_t>(q);
-            }
+            // a return beyond the quantization range is DROPPED, not
+            // clamped: clamping pinned phantom points to the +-125 m box
+            // faces, which then entered registration and the keyframe map
+            float q0 = std::nearbyint(p[0] * qinv);
+            float q1 = std::nearbyint(p[1] * qinv);
+            float q2 = std::nearbyint(p[2] * qinv);
+            if (q0 > 32766.0f || q0 < -32766.0f || q1 > 32766.0f ||
+                q1 < -32766.0f || q2 > 32766.0f || q2 < -32766.0f)
+                continue;
+            o[3 * w] = static_cast<int16_t>(q0);
+            o[3 * w + 1] = static_cast<int16_t>(q1);
+            o[3 * w + 2] = static_cast<int16_t>(q2);
+            ++w;
         }
-        for (int64_t k = m; k < capacity; ++k) {
+        for (int64_t k = w; k < capacity; ++k) {
             o[3 * k] = 32767;
             o[3 * k + 1] = 32767;
             o[3 * k + 2] = 32767;
         }
-        out_counts[c] = m;
+        out_counts[c] = w;
     }
 }
 

@@ -264,8 +264,14 @@ def _dense_lm_solve(lin: _Lin, damped_diag, grad, mask):
     H4 = jnp.zeros((K, K, 6, 6), damped_diag.dtype)
     idx = jnp.arange(K)
     H4 = H4.at[idx, idx].set(diag_blocks)
-    H4 = H4.at[lin.ei, lin.ej].add(lin.bij)
-    H4 = H4.at[lin.ej, lin.ei].add(jnp.swapaxes(lin.bij, -1, -2))
+    # zero off-diagonal blocks touching a masked node BEFORE scattering:
+    # a real edge incident to a masked node would otherwise couple the
+    # pinned (identity-row, dx=0-intended) node into unmasked rows —
+    # matching _pcg, which re-zeroes masked components every iteration
+    e_live = (mask[lin.ei] & mask[lin.ej]).astype(lin.bij.dtype)
+    bij = lin.bij * e_live[:, None, None]
+    H4 = H4.at[lin.ei, lin.ej].add(bij)
+    H4 = H4.at[lin.ej, lin.ei].add(jnp.swapaxes(bij, -1, -2))
     H = H4.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
     b = (-grad * mask[:, None].astype(grad.dtype)).reshape(K * 6)
     dx = jnp.linalg.solve(H, b).reshape(K, 6)

@@ -455,12 +455,18 @@ _MERGED_Q_OFF = 1 << 14
 
 
 class MergedDenseVoxelMap(NamedTuple):
-    """Dense grid whose row v holds the 2x2x2 block at v, pre-merged.
+    """Dense grid whose row b holds the 2x2x2 block at base = b - 1, pre-merged.
 
-    rows:  (Gx*Gy*Gz + 1, 8*M*3) int16 corner-relative quantized coords
-           (MERGED_PAD_Q padding; last row is the all-padding sentinel)
+    rows:  ((Gx+1)*(Gy+1)*(Gz+1) + 1, 8*M*3) int16 corner-relative quantized
+           coords (MERGED_PAD_Q padding; last row is the all-padding
+           sentinel). The merged index space is one voxel LARGER per axis
+           than the underlying grid: corner-selected bases range over
+           [-1, G-1] (a query in the low half-voxel shell has base = -1 but
+           still owns 4 in-bounds voxels of its 2x2x2 block), so row b
+           serves base = b - 1.
     scale: () f32 meters per quantization count
-    corner/grid/dims/slab_pts: as DenseVoxelMap (slab_pts = per-VOXEL M)
+    corner/grid/dims/slab_pts: as DenseVoxelMap (slab_pts = per-VOXEL M;
+           dims are the UNDERLYING grid dims, not the merged index dims)
     """
 
     rows: jax.Array
@@ -498,11 +504,17 @@ def build_merged_dense_voxel_map(pc: PointCloud, grid, center: jax.Array,
                  ).astype(jnp.int16) - jnp.int16(_MERGED_Q_OFF)
     q = jnp.where(valid[:, None], q, jnp.int16(MERGED_PAD_Q))
     pts = q.reshape(gx, gy, gz, m * 3)
-    padded = jnp.pad(pts, ((0, 1), (0, 1), (0, 1), (0, 0)),
+    # pad one voxel on BOTH sides: low-side padding makes row 0 serve
+    # base = -1 (the low half-voxel shell keeps its 4 in-bounds voxels —
+    # without it those queries gathered the all-padding sentinel and
+    # registration silently lost support in a g/2 band at the low window
+    # edges), high-side padding closes the block at base = G-1
+    padded = jnp.pad(pts, ((1, 1), (1, 1), (1, 1), (0, 0)),
                      constant_values=MERGED_PAD_Q)
-    parts = [padded[dx:dx + gx, dy:dy + gy, dz:dz + gz]
+    parts = [padded[dx:dx + gx + 1, dy:dy + gy + 1, dz:dz + gz + 1]
              for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
-    rows = jnp.concatenate(parts, axis=-1).reshape(gx * gy * gz, 8 * m * 3)
+    rows = jnp.concatenate(parts, axis=-1).reshape(
+        (gx + 1) * (gy + 1) * (gz + 1), 8 * m * 3)
     rows = jnp.concatenate(
         [rows, jnp.full((1, 8 * m * 3), MERGED_PAD_Q, jnp.int16)])
     return MergedDenseVoxelMap(rows, scale, dm.corner, dm.grid, dims,
@@ -518,9 +530,12 @@ def gather_neighbors_merged(mm: MergedDenseVoxelMap, queries: jax.Array,
     ``gather_neighbors_corner`` (map grid >= 2 * search radius); only the
     HBM transaction count differs (Q rows instead of 8Q), and candidates
     come back dequantized to f32 meters (see MERGED_PAD_Q rationale).
+    Rows are indexed at base + 1 in the (G+1)-per-axis merged index space
+    so base = -1 (low half-voxel shell) resolves to a real row.
     """
     base = jnp.floor((queries - mm.corner) / mm.grid - 0.5).astype(jnp.int32)
-    flat = _dense_flat(base, mm.dims, q_mask)  # (Q,)
+    gx, gy, gz = mm.dims
+    flat = _dense_flat(base + 1, (gx + 1, gy + 1, gz + 1), q_mask)  # (Q,)
     q = mm.rows[flat]                          # (Q, 8*M*3) int16
     m8 = 8 * mm.slab_pts
     qp = q.reshape(*q.shape[:-1], m8, 3)

@@ -166,9 +166,15 @@ def _lz4_decompress_block(src: bytes, out: bytearray,
         if len(out) + mlen > max_out:
             raise ValueError("lz4: output exceeds declared size")
         pos = len(out) - off
-        for _ in range(mlen):  # byte-wise: overlap semantics
-            out.append(out[pos])
-            pos += 1
+        if off >= mlen:
+            # non-overlapping match (the common case): one slice copy
+            out += out[pos:pos + mlen]
+        else:
+            # overlapping match = periodic repetition of the last ``off``
+            # bytes; replicate the period instead of a per-byte loop
+            period = bytes(out[pos:])
+            reps, rem = divmod(mlen, off)
+            out += period * reps + period[:rem]
 
 
 def lz4_decompress_frame(buf: bytes,

@@ -36,6 +36,45 @@ def test_corner_covers_search_ball(rng):
                                np.where(inside, ref, 0.0), rtol=1e-5)
 
 
+def test_merged_vs_corner_candidate_parity(rng):
+    """Merged one-row gather returns the SAME candidate set as the 8-row
+    corner gather for every query — including the low half-voxel shell
+    (base = -1), where an unpadded merged grid silently returned zero
+    candidates while corner still served the 4 in-bounds voxels."""
+    pts = rng.uniform(-16, 16, size=(8000, 3)).astype(np.float32)
+    pc = pcops.from_numpy(pts, 8192)
+    # queries spanning the whole window INCLUDING its edge shells
+    queries = np.concatenate([
+        rng.uniform(-16, 16, size=(256, 3)),
+        rng.uniform(-16, -15.2, size=(64, 3)),          # low shell, all axes
+        np.stack([rng.uniform(-16, -15.2, 64),          # low-x band only
+                  rng.uniform(-14, 14, 64),
+                  rng.uniform(-14, 14, 64)], axis=1),
+    ]).astype(np.float32)
+    q = jnp.asarray(queries)
+    q_mask = jnp.ones((len(queries),), bool)
+
+    dm = vox.build_dense_voxel_map(pc, 2.0, jnp.zeros(3, jnp.float32),
+                                   (16, 16, 16), slab_size=64,
+                                   lane_quantum=1)
+    mm = vox.build_merged_dense_voxel_map(pc, 2.0, jnp.zeros(3, jnp.float32),
+                                          (16, 16, 16), slab_size=64)
+    c_cor, ok_cor = vox.gather_neighbors_corner(dm, q, q_mask)
+    c_mrg, ok_mrg = vox.gather_neighbors_merged(mm, q, q_mask)
+
+    c_cor, ok_cor = np.asarray(c_cor), np.asarray(ok_cor)
+    c_mrg, ok_mrg = np.asarray(c_mrg), np.asarray(ok_mrg)
+    for i in range(len(queries)):
+        a, b = c_cor[i][ok_cor[i]], c_mrg[i][ok_mrg[i]]
+        assert len(a) == len(b), (i, queries[i], len(a), len(b))
+        if len(a):
+            # merged rows are int16-quantized (~6 mm): set-match each
+            # corner candidate to its nearest merged candidate
+            d = np.linalg.norm(a[:, None, :] - b[None, :, :], axis=-1)
+            assert d.min(axis=1).max() < 0.02, (i, d.min(axis=1).max())
+            assert d.min(axis=0).max() < 0.02, (i, d.min(axis=0).max())
+
+
 def test_corner_vs_27cell_same_candidates_in_ball(rng):
     pts = rng.uniform(-10, 10, size=(5000, 3)).astype(np.float32)
     pc = pcops.from_numpy(pts, 8192)

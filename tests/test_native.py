@@ -74,3 +74,24 @@ def test_voxel_downsample_batch_matches_single(rng):
         row1, cnt1 = native.voxel_downsample_centroid_pad(s, 0.5, 2048, 1e9)
         assert cnt1 == cnts[i]
         np.testing.assert_array_equal(rows[i], row1)
+
+
+def test_quant_batch_drops_out_of_range(rng):
+    """Returns beyond the int16 quantization range are DROPPED, not clamped
+    to phantom points on the +-125 m box (C++ kernel and numpy fallback)."""
+    from simpleslam_tpu.pipeline.streamed import UPLOAD_SCALE
+
+    pts = rng.uniform(-40, 40, size=(500, 3)).astype(np.float32)
+    pts[:7] = [[300.0, 0.0, 1.0]] * 7        # beyond +-125 m on x
+    pts[7:10] = [[5.0, -1.0, -4000.0]] * 3   # beyond on z
+    rows, cnts = native.voxel_downsample_sort_quant_batch(
+        [pts], 0.5, 2048, 0.0, UPLOAD_SCALE)
+    c = int(cnts[0])
+    xyz = rows[0][:c].astype(np.float32) * UPLOAD_SCALE
+    assert np.abs(xyz).max() < 126.0
+    # no clamped phantoms sitting on the box faces
+    assert not np.any(np.abs(np.abs(xyz) - 32766 * UPLOAD_SCALE) < 1e-3)
+    # everything in range survived the downsample
+    assert c > 0
+    # the padding tail carries the sentinel
+    assert np.all(rows[0][c:] == 32767)
