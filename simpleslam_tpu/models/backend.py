@@ -223,8 +223,13 @@ class Backend:
         )
         self.frontend.odom2map.store(delta @ self.frontend.odom2map.load())
         # expose the rigid correction so executors holding pose state outside
-        # the frontend (pipeline/streamed.py device chain) can apply it too
+        # the frontend (pipeline/streamed.py device chain) can apply it too,
+        # plus the solve's keyframe watermark: the delta is the correction AT
+        # the last keyframe of this solve, so retro-application to a recorded
+        # trajectory is valid exactly for scans at/after that keyframe (the
+        # GlobalOdom-deque rewrite scope, Backend.cpp:333-342)
         self.last_delta = delta
+        self.last_kf_count = n
         return True
 
     def _solve(self, kf_poses: List[np.ndarray], strong: bool,

@@ -310,7 +310,22 @@ class MapManager:
     # coverage slack — half of it is a safe staleness budget.
     REBUILD_CENTER_SLACK = 4.0
 
-    def update_map_device(self) -> None:
+    def commit_pending_target(self) -> bool:
+        """Swap in a rebuild dispatched with ``defer_swap=True`` (the
+        double-buffer boundary): the executor calls this at the NEXT batch
+        dispatch, so the rebuild program sits BEHIND one registration batch
+        in the device queue and executes in that batch's fetch/host window
+        instead of serializing ahead of it."""
+        t = getattr(self, "_pending_target", None)
+        if t is None:
+            return False
+        self._pending_target = None
+        with self._submap_lock:
+            self._submap_pc = None
+            self._target = t
+        return True
+
+    def update_map_device(self, defer_swap: bool = False) -> None:
         """Submap target rebuild on device (streamed-path update_map).
 
         Rebuild policy (the round-4 device-budget fix): each build costs
@@ -387,6 +402,13 @@ class MapManager:
             center.astype(np.float32), self.grid_size)
         with self.kf_obj.lock:
             self.kf_obj.submap_idx = set(int(i) for i in sel)
+        if defer_swap:
+            # double-buffer: registration keeps the CURRENT target until the
+            # executor commits at its next batch boundary (the reference's
+            # concurrent map thread also swaps behind scan2map's back,
+            # MapManager.cpp:151-201 under mLockMap)
+            self._pending_target = target
+            return
         with self._submap_lock:
             self._submap_pc = None
             self._target = target

@@ -174,7 +174,11 @@ def run_offline(system: SlamSystem, streams: sim.SensorStreams,
 
     wall = tt_all.elapsed()
     with system.map_manager.kf_obj.lock:
-        kf_count = len(system.map_manager.kf_obj.keyframes)
+        kfs = system.map_manager.kf_obj.keyframes
+        kf_count = len(kfs)
+        kf_stamps = np.array([kf.stamp for kf in kfs])
+        kf_poses = (np.stack([kf.pose for kf in kfs]) if kfs
+                    else np.zeros((0, 4, 4)))
     return SlamResult(
         stamps=np.asarray(streams.scan_stamps),
         poses=np.stack(est_poses) if est_poses else np.zeros((0, 4, 4)),
@@ -182,6 +186,7 @@ def run_offline(system: SlamSystem, streams: sim.SensorStreams,
         wall_time=wall,
         keyframe_count=kf_count,
         converged_frac=n_conv / max(len(est_poses), 1),
+        extras={"kf_stamps": kf_stamps, "kf_poses": kf_poses},
     )
 
 

