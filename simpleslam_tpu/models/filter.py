@@ -216,10 +216,10 @@ class EkfTape(NamedTuple):
     imu_yaw: jax.Array    # (E,) absolute imu yaw (zeros on wheel rows)
 
 
-def build_tape(wheel_stamps: np.ndarray, wheel_poses: np.ndarray,
-               imu_stamps: np.ndarray, imu_quats: np.ndarray) -> EkfTape:
-    """Merge wheel/imu streams into one stamp-ordered tape (ties: imu first,
-    matching bag dispatch order where the earlier message is handled first)."""
+def build_tape_arrays(wheel_stamps: np.ndarray, wheel_poses: np.ndarray,
+                      imu_stamps: np.ndarray, imu_quats: np.ndarray):
+    """Merged, stamp-ordered event arrays (numpy, UNPADDED) — the host half
+    of ``build_tape``; the chunked feeder slices these directly."""
     wy = np.arctan2(wheel_poses[:, 1, 0], wheel_poses[:, 0, 0])
     iy = np.array([_quat_yaw(q) for q in np.asarray(imu_quats, np.float64)])
     stamps = np.concatenate([wheel_stamps, imu_stamps])
@@ -230,8 +230,40 @@ def build_tape(wheel_stamps: np.ndarray, wheel_poses: np.ndarray,
     wyaw = np.concatenate([wy, np.zeros(len(imu_stamps))])
     iyaw = np.concatenate([np.zeros(len(wheel_stamps)), iy])
     order = np.lexsort((is_wheel, stamps))  # stable: imu before wheel on ties
-    stamps, is_wheel = stamps[order], is_wheel[order]
-    xy, wyaw, iyaw = xy[order], wyaw[order], iyaw[order]
+    return (stamps[order], is_wheel[order], xy[order], wyaw[order],
+            iyaw[order])
+
+
+def pad_tape_chunk(stamps, is_wheel, xy, wyaw, iyaw, cap: int,
+                   last_imu_yaw: float) -> EkfTape:
+    """Pad one event-array slice to ``cap`` rows with no-op events: IMU rows
+    at the final stamp repeating ``last_imu_yaw`` — dt = 0 so predict adds
+    no process noise, emitted stays False, and the EKF carry is unchanged
+    across them (the invariant chunked replay relies on)."""
+    n = len(stamps)
+    if cap > n:
+        pad = cap - n
+        last_t = stamps[-1] if n else 0.0
+        stamps = np.concatenate([stamps, np.full(pad, last_t)])
+        is_wheel = np.concatenate([is_wheel, np.zeros(pad, bool)])
+        xy = np.concatenate([xy, np.zeros((pad, 2))])
+        wyaw = np.concatenate([wyaw, np.zeros(pad)])
+        iyaw = np.concatenate([iyaw, np.full(pad, last_imu_yaw)])
+    return EkfTape(
+        jnp.asarray(stamps, jnp.float32),
+        jnp.asarray(is_wheel),
+        jnp.asarray(xy, jnp.float32),
+        jnp.asarray(wyaw, jnp.float32),
+        jnp.asarray(iyaw, jnp.float32),
+    )
+
+
+def build_tape(wheel_stamps: np.ndarray, wheel_poses: np.ndarray,
+               imu_stamps: np.ndarray, imu_quats: np.ndarray) -> EkfTape:
+    """Merge wheel/imu streams into one stamp-ordered tape (ties: imu first,
+    matching bag dispatch order where the earlier message is handled first)."""
+    stamps, is_wheel, xy, wyaw, iyaw = build_tape_arrays(
+        wheel_stamps, wheel_poses, imu_stamps, imu_quats)
 
     # pad to a power-of-2 bucket so ekf_replay compiles once per bucket, not
     # once per stream length (each compile is seconds on a real chip). The
@@ -244,22 +276,9 @@ def build_tape(wheel_stamps: np.ndarray, wheel_poses: np.ndarray,
     # 20 Hz wheel + 100 Hz imu (scan steps are ~us each, padding is cheap);
     # longer streams fall into power-of-2 buckets
     cap = max(4096, 1 << int(np.ceil(np.log2(max(n, 1)))))
-    if cap > n:
-        pad = cap - n
-        last_t = stamps[-1] if n else 0.0
-        last_iy = iyaw[np.nonzero(~is_wheel)[0][-1]] if (~is_wheel).any() else 0.0
-        stamps = np.concatenate([stamps, np.full(pad, last_t)])
-        is_wheel = np.concatenate([is_wheel, np.zeros(pad, bool)])
-        xy = np.concatenate([xy, np.zeros((pad, 2))])
-        wyaw = np.concatenate([wyaw, np.zeros(pad)])
-        iyaw = np.concatenate([iyaw, np.full(pad, last_iy)])
-    return EkfTape(
-        jnp.asarray(stamps, jnp.float32),
-        jnp.asarray(is_wheel),
-        jnp.asarray(xy, jnp.float32),
-        jnp.asarray(wyaw, jnp.float32),
-        jnp.asarray(iyaw, jnp.float32),
-    )
+    last_iy = iyaw[np.nonzero(~is_wheel)[0][-1]] if (~is_wheel).any() else 0.0
+    return pad_tape_chunk(stamps, is_wheel, xy, wyaw, iyaw, cap,
+                          float(last_iy))
 
 
 class EkfReplayResult(NamedTuple):
@@ -268,10 +287,10 @@ class EkfReplayResult(NamedTuple):
     emitted: jax.Array  # (E,) bool — True where a wheel event pushed odometry
 
 
-@jax.jit
-def ekf_replay(tape: EkfTape) -> EkfReplayResult:
-    """Fuse the whole tape in one scan — bit-level parity with the streaming
-    proxy (same init, gating, dt bookkeeping and update order)."""
+def _ekf_step(carry, ev):
+    """One event of the fused replay scan (shared by the whole-tape and
+    chunked paths) — bit-level parity with the streaming proxy (same init,
+    gating, dt bookkeeping and update order)."""
     f32 = jnp.float32
     sys_var = jnp.asarray(SYS_STD ** 2, f32)
     imu_var = jnp.asarray(IMU_STD ** 2, f32)
@@ -289,62 +308,84 @@ def ekf_replay(tape: EkfTape) -> EkfReplayResult:
         dx, dy = bx - ax, by - ay
         return c * dx + s * dy, -s * dx + c * dy, byaw - ayaw
 
-    def step(carry, ev):
-        (x, P, imu_init, wheel_init, upd_flag,
-         imu_t, imu_yaw_prev, wheel_t, wx_prev, wy_prev, wyaw_prev) = carry
-        stamp, is_wheel, exy, wyaw, iyaw = ev
+    (x, P, imu_init, wheel_init, upd_flag,
+     imu_t, imu_yaw_prev, wheel_t, wx_prev, wy_prev, wyaw_prev) = carry
+    stamp, is_wheel, exy, wyaw, iyaw = ev
 
-        def do_imu(_):
-            def init(_):
-                x2 = x.at[2].set(iyaw)
-                return (x2, P0, True, wheel_init, upd_flag,
-                        stamp, iyaw, wheel_t, wx_prev, wy_prev, wyaw_prev), x2, False
+    def do_imu(_):
+        def init(_):
+            x2 = x.at[2].set(iyaw)
+            return (x2, P0, True, wheel_init, upd_flag,
+                    stamp, iyaw, wheel_t, wx_prev, wy_prev, wyaw_prev), x2, False
 
-            def update(_):
-                dt = stamp - imu_t
-                dyaw = wrap(iyaw - imu_yaw_prev, 0.0)  # relative yaw via quats == wrapped diff
-                z = wrap(x[2] + dyaw, x[2])
-                x2, P2 = ekf_update(x, P, jnp.array([z]), H_imu, imu_var, dt)
-                return (x2, P2, imu_init, wheel_init, False,
-                        stamp, iyaw, wheel_t, wx_prev, wy_prev, wyaw_prev), x2, False
+        def update(_):
+            dt = stamp - imu_t
+            dyaw = wrap(iyaw - imu_yaw_prev, 0.0)  # relative yaw via quats == wrapped diff
+            z = wrap(x[2] + dyaw, x[2])
+            x2, P2 = ekf_update(x, P, jnp.array([z]), H_imu, imu_var, dt)
+            return (x2, P2, imu_init, wheel_init, False,
+                    stamp, iyaw, wheel_t, wx_prev, wy_prev, wyaw_prev), x2, False
 
-            def skip(_):
-                return (x, P, imu_init, wheel_init, upd_flag,
-                        imu_t, imu_yaw_prev, wheel_t, wx_prev, wy_prev, wyaw_prev), x, False
+        def skip(_):
+            return (x, P, imu_init, wheel_init, upd_flag,
+                    imu_t, imu_yaw_prev, wheel_t, wx_prev, wy_prev, wyaw_prev), x, False
 
-            return jax.lax.cond(
-                ~imu_init, init,
-                lambda o: jax.lax.cond(upd_flag, update, skip, o), None)
+        return jax.lax.cond(
+            ~imu_init, init,
+            lambda o: jax.lax.cond(upd_flag, update, skip, o), None)
 
-        def do_wheel(_):
-            def init(_):
-                x2 = x.at[0].set(exy[0]).at[1].set(exy[1])
-                return (x2, P0, imu_init, True, upd_flag,
-                        imu_t, imu_yaw_prev, stamp, exy[0], exy[1], wyaw), x2, False
+    def do_wheel(_):
+        def init(_):
+            x2 = x.at[0].set(exy[0]).at[1].set(exy[1])
+            return (x2, P0, imu_init, True, upd_flag,
+                    imu_t, imu_yaw_prev, stamp, exy[0], exy[1], wyaw), x2, False
 
-            def update(_):
-                dt = stamp - wheel_t
-                P1 = ekf_predict(P, dt, sys_var)
-                # delta = state_pose * (last_wheel^-1 * cur_wheel); z = delta.xy
-                rx, ry, _ = rel2d(wx_prev, wy_prev, wyaw_prev, exy[0], exy[1], wyaw)
-                c, s = jnp.cos(x[2]), jnp.sin(x[2])
-                z = jnp.array([x[0] + c * rx - s * ry, x[1] + s * rx + c * ry])
-                x2, P2 = ekf_update(x, P1, z, H_wheel, wheel_var, dt)
-                return (x2, P2, imu_init, wheel_init, True,
-                        imu_t, imu_yaw_prev, stamp, exy[0], exy[1], wyaw), x2, True
+        def update(_):
+            dt = stamp - wheel_t
+            P1 = ekf_predict(P, dt, sys_var)
+            # delta = state_pose * (last_wheel^-1 * cur_wheel); z = delta.xy
+            rx, ry, _ = rel2d(wx_prev, wy_prev, wyaw_prev, exy[0], exy[1], wyaw)
+            c, s = jnp.cos(x[2]), jnp.sin(x[2])
+            z = jnp.array([x[0] + c * rx - s * ry, x[1] + s * rx + c * ry])
+            x2, P2 = ekf_update(x, P1, z, H_wheel, wheel_var, dt)
+            return (x2, P2, imu_init, wheel_init, True,
+                    imu_t, imu_yaw_prev, stamp, exy[0], exy[1], wyaw), x2, True
 
-            return jax.lax.cond(~wheel_init, init, update, None)
+        return jax.lax.cond(~wheel_init, init, update, None)
 
-        new_carry, xs, emitted = jax.lax.cond(is_wheel, do_wheel, do_imu, None)
-        return new_carry, (xs, emitted)
+    new_carry, xs, emitted = jax.lax.cond(is_wheel, do_wheel, do_imu, None)
+    return new_carry, (xs, emitted)
 
-    carry0 = (jnp.zeros(3, f32), P0, False, False, False,
-              f32(-1.0), f32(0.0), f32(-1.0), f32(0.0), f32(0.0), f32(0.0))
-    _, (states, emitted) = jax.lax.scan(
-        step, carry0,
-        (tape.stamps, tape.is_wheel, tape.wheel_xy, tape.wheel_yaw, tape.imu_yaw),
-    )
-    return EkfReplayResult(tape.stamps, states, emitted)
+
+def ekf_carry0():
+    """Initial replay carry (pre-init filter, matching EkfOdomProxy ctor)."""
+    f32 = jnp.float32
+    P0 = jnp.diag(jnp.asarray(PRIOR_STD ** 2, f32))
+    return (jnp.zeros(3, f32), P0, jnp.bool_(False), jnp.bool_(False),
+            jnp.bool_(False), f32(-1.0), f32(0.0), f32(-1.0), f32(0.0),
+            f32(0.0), f32(0.0))
+
+
+@jax.jit
+def ekf_replay_chunk(carry, tape: EkfTape):
+    """Fuse one tape chunk, carrying the filter state across chunks — the
+    incremental form of ``ekf_replay`` (same step function, so
+    chunked-vs-whole results are bit-identical). Lets lio mode fuse the
+    sensor stream lazily alongside the scan batches instead of paying an
+    O(stream) serial head before the first scan (VERDICT r4 #6; the
+    reference's proxy streams with no head, EkfOdomProxy.cpp:185-248)."""
+    carry, (states, emitted) = jax.lax.scan(
+        _ekf_step, carry,
+        (tape.stamps, tape.is_wheel, tape.wheel_xy, tape.wheel_yaw,
+         tape.imu_yaw))
+    return carry, EkfReplayResult(tape.stamps, states, emitted)
+
+
+@jax.jit
+def ekf_replay(tape: EkfTape) -> EkfReplayResult:
+    """Fuse the whole tape in one scan (see ``_ekf_step`` for semantics)."""
+    _, res = ekf_replay_chunk(ekf_carry0(), tape)
+    return res
 
 
 def replay_to_odometry(res: EkfReplayResult) -> list:

@@ -384,6 +384,96 @@ class _ScanPrep:
         self.thread.join(timeout=5.0)
 
 
+class _LocalOdomFeeder:
+    """Incremental wheel+IMU fusion for lio mode (VERDICT r4 #6).
+
+    The round-4 executor fused the ENTIRE sensor stream in one
+    ``ekf_replay`` before the first scan — an O(stream) serial head (316 ms
+    on the r4 driver run, multi-second on hour-long streams). This feeder
+    fuses the event tape in fixed 4096-event chunks THROUGH the same
+    compiled step (``models/filter.ekf_replay_chunk`` carries the filter
+    state across chunks, bit-identical to the whole-tape scan), advancing
+    only far enough to finalize the local odoms each scan batch needs — the
+    streaming, head-free shape of the reference proxy
+    (EkfOdomProxy.cpp:185-248).
+
+    Padding note: pad rows perturb the carry (an IMU pad row consumes the
+    update flag and shrinks P on a zero-innovation update), so only the
+    FINAL chunk — after which no real event follows — is ever padded.
+    """
+
+    CHUNK = 4096
+
+    def __init__(self, streams, scan_stamps: np.ndarray,
+                 local_np: np.ndarray):
+        from ..models import filter as flt
+
+        self._flt = flt
+        (self.ev_stamps, self.ev_iswheel, self.ev_xy, self.ev_wyaw,
+         self.ev_iyaw) = flt.build_tape_arrays(
+            streams.wheel_stamps, streams.wheel_poses,
+            streams.imu_stamps, streams.imu_quats)
+        self.n_events = len(self.ev_stamps)
+        self.carry = flt.ekf_carry0()
+        self.pos = 0
+        self.lo_stamps = np.zeros(0)
+        self.lo_states = np.zeros((0, 3))
+        self.scan_stamps = scan_stamps
+        self.local_np = local_np
+        self.filled = 0  # scans whose local_np row is final
+        self.n_chunks = 0
+
+    def _advance_chunk(self) -> None:
+        flt = self._flt
+        lo, hi = self.pos, min(self.pos + self.CHUNK, self.n_events)
+        sl = slice(lo, hi)
+        im = ~self.ev_iswheel[sl]
+        last_iyaw = float(self.ev_iyaw[sl][im][-1]) if im.any() else 0.0
+        tape = flt.pad_tape_chunk(
+            self.ev_stamps[sl], self.ev_iswheel[sl], self.ev_xy[sl],
+            self.ev_wyaw[sl], self.ev_iyaw[sl], self.CHUNK, last_iyaw)
+        self.carry, res = flt.ekf_replay_chunk(self.carry, tape)
+        emitted = np.asarray(res.emitted)
+        self.lo_stamps = np.concatenate(
+            [self.lo_stamps, np.asarray(res.stamps, np.float64)[emitted]])
+        self.lo_states = np.concatenate(
+            [self.lo_states, np.asarray(res.states, np.float64)[emitted]])
+        self.pos = hi
+        self.n_chunks += 1
+
+    def ensure(self, hi_scan: int) -> None:
+        """Finalize ``local_np`` rows [0, hi_scan] (blocking fuse as needed).
+
+        A row is final once an emitted odom with a LATER stamp exists (the
+        nearest-of-two bracket is then decided) or the tape is exhausted.
+        """
+        if hi_scan < self.filled:
+            return
+        t = float(self.scan_stamps[hi_scan])
+        while self.pos < self.n_events and (
+                len(self.lo_stamps) == 0 or self.lo_stamps[-1] <= t):
+            self._advance_chunk()
+        if len(self.lo_stamps) == 0:
+            raise ValueError("lio mode needs wheel odometry in the stream")
+        # nearest-stamp local odom per scan (the vectorized
+        # Frontend::getClosestLocalOdom, Frontend.cpp:25-52)
+        ts = self.scan_stamps[self.filled: hi_scan + 1]
+        nearest = np.clip(np.searchsorted(self.lo_stamps, ts), 1,
+                          len(self.lo_stamps) - 1)
+        nearest -= (ts - self.lo_stamps[nearest - 1]
+                    < self.lo_stamps[nearest] - ts).astype(int)
+        for k, s in zip(range(self.filled, hi_scan + 1),
+                        self.lo_states[nearest]):
+            c, sn = np.cos(s[2]), np.sin(s[2])
+            self.local_np[k, 0, 0] = c
+            self.local_np[k, 0, 1] = -sn
+            self.local_np[k, 1, 0] = sn
+            self.local_np[k, 1, 1] = c
+            self.local_np[k, 0, 3] = s[0]
+            self.local_np[k, 1, 3] = s[1]
+        self.filled = hi_scan + 1
+
+
 def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
                  sync_every: int = 16, progress: bool = False,
                  device_probe: bool = False) -> SlamResult:
@@ -459,35 +549,16 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
     retired_hi = 0                                 # scans recorded so far
     n_conv = 0
 
-    # lio: fuse the whole wheel+IMU stream in one compiled scan up front,
-    # then pick the closest local odom per scan stamp (the vectorized
-    # Frontend::getClosestLocalOdom, Frontend.cpp:25-52)
+    # lio: fuse the wheel+IMU stream INCREMENTALLY in compiled chunks (the
+    # feeder advances just past each batch's stamps, keeping the EKF off
+    # the startup critical path) and pick the closest local odom per scan
+    # (the vectorized Frontend::getClosestLocalOdom, Frontend.cpp:25-52)
     local_np = np.tile(np.eye(4, dtype=np.float32), (n_scans, 1, 1))
+    feeder: Optional[_LocalOdomFeeder] = None
     if mode == "lio":
-        from ..models import filter as flt
-
         tt.tic()
-        tape = flt.build_tape(streams.wheel_stamps, streams.wheel_poses,
-                              streams.imu_stamps, streams.imu_quats)
-        rep = flt.ekf_replay(tape)
-        emitted = np.asarray(rep.emitted)
-        lo_stamps = np.asarray(rep.stamps, np.float64)[emitted]
-        lo_states = np.asarray(rep.states, np.float64)[emitted]
-        if len(lo_stamps) == 0:
-            raise ValueError("lio mode needs wheel odometry in the stream")
-        nearest = np.clip(
-            np.searchsorted(lo_stamps, scan_stamps), 1, len(lo_stamps) - 1)
-        nearest -= (scan_stamps - lo_stamps[nearest - 1]
-                    < lo_stamps[nearest] - scan_stamps).astype(int)
-        for k in range(n_scans):
-            s = lo_states[nearest[k]]
-            c, sn = np.cos(s[2]), np.sin(s[2])
-            local_np[k, 0, 0] = c
-            local_np[k, 0, 1] = -sn
-            local_np[k, 1, 0] = sn
-            local_np[k, 1, 1] = c
-            local_np[k, 0, 3] = s[0]
-            local_np[k, 1, 3] = s[1]
+        feeder = _LocalOdomFeeder(streams, scan_stamps, local_np)
+        feeder.ensure(0)  # the chain anchor needs scan 0's local odom
         timers.add("ekf_replay", tt.toc())
 
     # spatial-sort grid: the LOAM dense-map grid, or the NDT/VGICP voxel
@@ -546,6 +617,10 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
         repeating the last scan; extra outputs ignored so only one batch
         size ever compiles)."""
         batch = list(range(si, min(si + sync_every, n_scans)))
+        if feeder is not None:
+            tt.tic()
+            feeder.ensure(batch[-1])  # finalize this batch's local odoms
+            timers.add("ekf_replay", tt.toc())
         mm.commit_pending_target()  # double-buffer swap boundary
         target = mm.get_target()
         tt.tic()
@@ -708,6 +783,8 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
         pose_prev = jnp.asarray(rpose.astype(np.float32))
         pose_prev2 = pose_prev  # zero-velocity restart
         if mode == "lio":
+            if feeder is not None:
+                feeder.ensure(min(si, n_scans - 1))
             odom2map = jnp.asarray(
                 (rpose @ np.linalg.inv(local_np[min(si, n_scans - 1)]
                                        .astype(np.float64))
@@ -807,6 +884,7 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
             "support_mean": round(stats.get("support_sum", 0.0) / n_reg, 1),
             "support_min": int(stats.get("support_min", 0)),
             "n_deltas": stats.get("n_deltas", 0),
+            "ekf_chunks": feeder.n_chunks if feeder is not None else 0,
             # the reference's evaluation artifact: optimized keyframe TUM
             "kf_stamps": kf_stamps,
             "kf_poses": kf_poses,

@@ -101,3 +101,45 @@ def test_dt_squared_noise_scaling():
     P1 = flt.ekf_predict(P, 0.1, var)
     P2 = flt.ekf_predict(P, 0.2, var)
     np.testing.assert_allclose((P2 - P)[0, 0] / (P1 - P)[0, 0], 4.0, rtol=1e-6)
+
+
+def test_chunked_replay_matches_whole_tape():
+    """The incremental chunked replay (the lio feeder's path) is
+    bit-identical to the whole-tape scan across chunk boundaries — interior
+    chunks are unpadded, so the carried filter state must line up exactly."""
+    streams = _streams(n_scans=40, seed=7)
+    ev = flt.build_tape_arrays(streams.wheel_stamps, streams.wheel_poses,
+                               streams.imu_stamps, streams.imu_quats)
+    stamps, is_wheel, xy, wyaw, iyaw = ev
+    n = len(stamps)
+    assert n > 300  # enough events for several chunks below
+
+    whole = flt.ekf_replay(flt.build_tape(
+        streams.wheel_stamps, streams.wheel_poses,
+        streams.imu_stamps, streams.imu_quats))
+    w_em = np.asarray(whole.emitted)
+    w_st = np.asarray(whole.stamps)[w_em]
+    w_xs = np.asarray(whole.states)[w_em]
+
+    chunk = 128  # force many boundaries
+    carry = flt.ekf_carry0()
+    c_st, c_xs = [], []
+    pos = 0
+    while pos < n:
+        hi = min(pos + chunk, n)
+        sl = slice(pos, hi)
+        im = ~is_wheel[sl]
+        last_iy = float(iyaw[sl][im][-1]) if im.any() else 0.0
+        tape = flt.pad_tape_chunk(stamps[sl], is_wheel[sl], xy[sl],
+                                  wyaw[sl], iyaw[sl], chunk, last_iy)
+        carry, res = flt.ekf_replay_chunk(carry, tape)
+        em = np.asarray(res.emitted)
+        c_st.append(np.asarray(res.stamps)[em])
+        c_xs.append(np.asarray(res.states)[em])
+        pos = hi
+    c_st = np.concatenate(c_st)
+    c_xs = np.concatenate(c_xs)
+
+    assert len(c_st) == len(w_st) > 0
+    np.testing.assert_array_equal(c_st, w_st)
+    np.testing.assert_array_equal(c_xs, w_xs)
