@@ -68,15 +68,45 @@ def _rect_to_patch(r: Rect) -> Patch:
 
 
 @dataclass
+class Cylinder:
+    """Vertical cylinder (tree trunk, pole, curved tank wall).
+
+    A CURVED surface: point-to-plane registration only ever sees its local
+    tangent planes, so plane fits across a trunk's width are genuinely
+    non-planar — the self-confirmation breaker the planar worlds lack."""
+
+    cx: float
+    cy: float
+    radius: float
+    z0: float
+    z1: float
+
+
+@dataclass
+class Blob:
+    """Vegetation-like scatterer: a sphere that returns a hit with
+    probability ``hit_prob`` at a range jittered by ``jitter`` (leaf
+    penetration) — produces the fuzzy, non-surface point clutter real
+    foliage gives a LiDAR, which plane fitting must reject as outliers."""
+
+    center: np.ndarray      # (3,)
+    radius: float
+    hit_prob: float = 0.35
+    jitter: float = 0.4
+
+
+@dataclass
 class World:
     rects: List[Rect] = field(default_factory=list)
     patches: List[Patch] = field(default_factory=list)
+    cylinders: List[Cylinder] = field(default_factory=list)
+    blobs: List[Blob] = field(default_factory=list)
 
     def all_patches(self) -> List[Patch]:
         return [_rect_to_patch(r) for r in self.rects] + self.patches
 
-    def as_patch_arrays(self):
-        ps = self.all_patches()
+    def as_patch_arrays(self, extra_patches: Optional[List[Patch]] = None):
+        ps = self.all_patches() + (extra_patches or [])
         center = np.stack([p.center for p in ps]).astype(np.float64)
         u = np.stack([p.u for p in ps]).astype(np.float64)
         v = np.stack([p.v for p in ps]).astype(np.float64)
@@ -243,6 +273,62 @@ def make_sloped_world(seed: int = 0, extent: float = 60.0,
     return w
 
 
+def make_forest_world(seed: int = 0, extent: float = 100.0,
+                      n_trees: int = 90, n_buildings: int = 6) -> World:
+    """Park/forest world: tree trunks (CURVED surfaces) with vegetation
+    canopies (probabilistic scatter), sparse buildings, ground + walls.
+
+    The anti-self-confirmation world (VERDICT r4 #4): planar rectangles are
+    exactly what a point-to-plane pipeline is best at; real park recordings
+    (the reference's Zhengzhou/Binhai bags are parks) are dominated by
+    trunks and foliage where local plane fits are curved or fuzzy."""
+    rng = np.random.default_rng(seed)
+    w = make_world(seed=seed, extent=extent, n_buildings=n_buildings)
+    for _ in range(n_trees):
+        cx, cy = rng.uniform(-extent * 0.85, extent * 0.85, size=2)
+        if abs(cx) < 10 and abs(cy) < 10:
+            continue  # keep the start area clear
+        r = rng.uniform(0.15, 0.5)
+        h = rng.uniform(3.0, 8.0)
+        w.cylinders.append(Cylinder(cx, cy, r, 0.0, h))
+        # canopy: 1-3 blobs around the trunk top
+        for _ in range(rng.integers(1, 4)):
+            off = rng.normal(0, 1.0, size=2)
+            cz = h + rng.uniform(-0.5, 1.5)
+            w.blobs.append(Blob(
+                np.array([cx + off[0], cy + off[1], cz]),
+                radius=rng.uniform(1.0, 2.5),
+                hit_prob=rng.uniform(0.25, 0.5),
+                jitter=rng.uniform(0.2, 0.6)))
+    # ground-level shrubs
+    for _ in range(n_trees // 3):
+        cx, cy = rng.uniform(-extent * 0.85, extent * 0.85, size=2)
+        if abs(cx) < 10 and abs(cy) < 10:
+            continue
+        w.blobs.append(Blob(np.array([cx, cy, rng.uniform(0.3, 0.8)]),
+                            radius=rng.uniform(0.5, 1.2),
+                            hit_prob=rng.uniform(0.3, 0.6),
+                            jitter=rng.uniform(0.1, 0.3)))
+    return w
+
+
+def _box_patches(cx: float, cy: float, yaw: float, sx: float, sy: float,
+                 h: float) -> List[Patch]:
+    """Yaw-oriented box: 4 vertical faces + top (a moving obstacle)."""
+    c, s = np.cos(yaw), np.sin(yaw)
+    u = np.array([c, s, 0.0])       # along sx
+    v = np.array([-s, c, 0.0])      # along sy
+    z = np.array([0.0, 0.0, 1.0])
+    ctr = np.array([cx, cy, h / 2])
+    return [
+        Patch(ctr + u * sx / 2, v, z, (sy / 2, h / 2)),
+        Patch(ctr - u * sx / 2, v, z, (sy / 2, h / 2)),
+        Patch(ctr + v * sy / 2, u, z, (sx / 2, h / 2)),
+        Patch(ctr - v * sy / 2, u, z, (sx / 2, h / 2)),
+        Patch(np.array([cx, cy, h]), u, v, (sx / 2, sy / 2)),
+    ]
+
+
 def make_corridor_world(length: float = 200.0, width: float = 6.0,
                         height: float = 4.0) -> World:
     """A long featureless corridor: translation along x is unobservable by
@@ -261,16 +347,20 @@ def simulate_scan(world: World, sensor_pose: np.ndarray, n_az: int = 900,
                   n_el: int = 16, min_range: float = 0.8, max_range: float = 80.0,
                   noise: float = 0.01, rng: Optional[np.random.Generator] = None,
                   outlier_frac: float = 0.0,
-                  dropout_frac: float = 0.0) -> np.ndarray:
+                  dropout_frac: float = 0.0,
+                  extra_patches: Optional[List[Patch]] = None) -> np.ndarray:
     """Ray-cast one spinning-LiDAR scan. Returns (n, 3) points in sensor frame.
 
     sensor_pose: (4, 4) world-from-sensor. Elevation fan -15..+15 deg
     (VLP-16-like); rays hitting nothing in [min_range, max_range] are dropped.
     Supports arbitrarily-oriented ``Patch`` surfaces (ray-plane intersection
-    + in-plane bounds test). ``outlier_frac`` replaces that fraction of
-    returns with a random range along the same ray (spurious returns: rain,
-    dynamic objects, multipath); ``dropout_frac`` drops returns at random
-    (reflectance misses).
+    + in-plane bounds test), vertical ``Cylinder``s (curved surfaces) and
+    probabilistic ``Blob`` scatterers (vegetation clutter). ``outlier_frac``
+    replaces that fraction of returns with a random range along the same ray
+    (spurious returns: rain, multipath); ``dropout_frac`` drops returns at
+    random (reflectance misses). ``extra_patches`` are per-scan transient
+    surfaces — the dynamic-object hook (``simulate_sequence`` passes moving
+    obstacles through it).
     """
     az = np.linspace(0, 2 * np.pi, n_az, endpoint=False)
     el = np.deg2rad(np.linspace(-15.0, 15.0, n_el))
@@ -283,7 +373,7 @@ def simulate_scan(world: World, sensor_pose: np.ndarray, n_az: int = 900,
     o = sensor_pose[:3, 3]
     d_world = (d_sensor @ R.T).astype(np.float32)  # (Nr, 3)
 
-    center, u_ax, v_ax, half, normal = world.as_patch_arrays()
+    center, u_ax, v_ax, half, normal = world.as_patch_arrays(extra_patches)
     center = center.astype(np.float32)
     u_ax = u_ax.astype(np.float32)
     v_ax = v_ax.astype(np.float32)
@@ -312,8 +402,54 @@ def simulate_scan(world: World, sensor_pose: np.ndarray, n_az: int = 900,
           & (np.abs(a) <= half[None, :, 0]) & (np.abs(b) <= half[None, :, 1]))
     t = np.where(ok, t, np.inf)
     tmin = t.min(axis=1)
-    valid = np.isfinite(tmin)
     rng = rng or np.random.default_rng(0)
+
+    # vertical cylinders: |o_xy + t d_xy - c_xy|^2 = r^2, nearest positive
+    # root with z in [z0, z1]
+    if world.cylinders:
+        ccx = np.array([c.cx for c in world.cylinders], np.float32)
+        ccy = np.array([c.cy for c in world.cylinders], np.float32)
+        cr = np.array([c.radius for c in world.cylinders], np.float32)
+        cz0 = np.array([c.z0 for c in world.cylinders], np.float32)
+        cz1 = np.array([c.z1 for c in world.cylinders], np.float32)
+        dx, dy, dz = d_world[:, 0:1], d_world[:, 1:2], d_world[:, 2:3]
+        ox = o32[0] - ccx[None, :]                       # (Nr, Nc)
+        oy = o32[1] - ccy[None, :]
+        a2 = dx * dx + dy * dy                           # (Nr, 1)
+        bb = ox * dx + oy * dy
+        cc = ox * ox + oy * oy - cr[None, :] ** 2
+        with np.errstate(invalid="ignore", divide="ignore"):
+            disc = bb * bb - a2 * cc
+            sq = np.sqrt(np.maximum(disc, 0.0))
+            tc = (-bb - sq) / np.maximum(a2, 1e-12)      # near root
+        zc = o32[2] + tc * dz
+        okc = ((disc > 0) & (tc >= min_range) & (tc <= max_range)
+               & (zc >= cz0[None, :]) & (zc <= cz1[None, :]))
+        tc = np.where(okc, tc, np.inf).min(axis=1)
+        tmin = np.minimum(tmin, tc)
+
+    # vegetation blobs: ray-sphere hit accepted with hit_prob, range
+    # jittered inward (leaf penetration) — occludes like a soft surface
+    if world.blobs:
+        bc = np.stack([b.center for b in world.blobs]).astype(np.float32)
+        br = np.array([b.radius for b in world.blobs], np.float32)
+        bp = np.array([b.hit_prob for b in world.blobs], np.float32)
+        bj = np.array([b.jitter for b in world.blobs], np.float32)
+        ob = o32[None, :] - bc                           # (Nb, 3)
+        b_lin = d_world @ ob.T                           # (Nr, Nb)
+        c_lin = np.einsum("bi,bi->b", ob, ob)[None, :] - br[None, :] ** 2
+        with np.errstate(invalid="ignore"):
+            disc = b_lin * b_lin - c_lin
+            sq = np.sqrt(np.maximum(disc, 0.0))
+            tb = -b_lin - sq
+        hit = ((disc > 0) & (tb >= min_range) & (tb <= max_range)
+               & (rng.random(tb.shape) < bp[None, :]))
+        tb = tb + rng.random(tb.shape).astype(np.float32) * (
+            2.0 * sq) * (bj[None, :] / np.maximum(br[None, :], 1e-6)).clip(0, 1)
+        tb = np.where(hit, tb, np.inf).min(axis=1)
+        tmin = np.minimum(tmin, tb)
+
+    valid = np.isfinite(tmin)
     tv = tmin[valid]
     dv = d_world[valid]
     if outlier_frac > 0:
@@ -384,14 +520,44 @@ def simulate_sequence(world: World, n_scans: int = 200, dt: float = 0.1,
                       wheel_rate: float = 20.0, imu_rate: float = 100.0,
                       scan_noise: float = 0.01,
                       n_az: int = 900, n_el: int = 16,
-                      loop: bool = True) -> SensorStreams:
+                      loop: bool = True,
+                      n_dynamic: int = 0) -> SensorStreams:
+    """Simulate one sequence. ``n_dynamic`` > 0 adds moving obstacles
+    (pedestrian/vehicle-scale boxes) that CROSS the robot's path: they
+    appear in scans but not in the map's static structure, so registration
+    and keyframe maps must absorb them as dynamic clutter — the moving-world
+    failure mode planar static sims never exercise."""
     rng = np.random.default_rng(seed)
     stamps, poses = make_trajectory(n_scans, dt, speed, radius, loop=loop)
-    scans = [
-        simulate_scan(world, sensor_from_body(poses[i], lidar_height),
-                      n_az=n_az, n_el=n_el, noise=scan_noise, rng=rng)
-        for i in range(n_scans)
-    ]
+    movers = []
+    if n_dynamic > 0:
+        duration = n_scans * dt
+        for _ in range(n_dynamic):
+            # spawn near a random future path point, walk across it
+            ti = rng.uniform(0.1, 0.9) * duration
+            k = min(int(ti / dt), n_scans - 1)
+            px, py = poses[k, 0, 3], poses[k, 1, 3]
+            heading = rng.uniform(0, 2 * np.pi)
+            spd = rng.uniform(0.8, 4.0)       # walker .. slow vehicle
+            start = np.array([px, py]) - np.array(
+                [np.cos(heading), np.sin(heading)]) * spd * (ti - 0.0)
+            if rng.random() < 0.5:
+                dims = (0.5, 0.5, 1.8)        # pedestrian
+            else:
+                dims = (4.0, 1.8, 1.6)        # vehicle
+            movers.append((start, heading, spd, dims))
+    scans = []
+    for i in range(n_scans):
+        extra = []
+        for start, heading, spd, dims in movers:
+            t = stamps[i]
+            cx = start[0] + np.cos(heading) * spd * t
+            cy = start[1] + np.sin(heading) * spd * t
+            extra.extend(_box_patches(cx, cy, heading, *dims))
+        scans.append(
+            simulate_scan(world, sensor_from_body(poses[i], lidar_height),
+                          n_az=n_az, n_el=n_el, noise=scan_noise, rng=rng,
+                          extra_patches=extra or None))
 
     duration = stamps[-1] + dt
     # wheel odometry: integrate gt planar motion with multiplicative slip noise
