@@ -146,21 +146,32 @@ class _Lin(NamedTuple):
 
 def _linearize_full(g: PoseGraph, poses: jax.Array,
                     axis: str | None = None,
-                    shard_cg: bool = False) -> _Lin:
+                    shard_cg: bool = False,
+                    shard_lin: bool = False) -> _Lin:
     """Linearize + assemble the block-sparse normal equations.
 
     With ``axis`` set (inside shard_map, edge tensors sharded), the per-edge
-    work runs on this shard only. Two distribution modes:
+    work runs on this shard only. Three distribution modes:
 
     - replicated CG (``shard_cg=False``): the compact per-edge summary rides
       ONE ``all_gather`` and every device holds the full block-sparse system
       — the solver's only collective, the right trade on high-latency links.
+      The segment reductions then run REPLICATED over the full edge set.
     - sharded CG (``shard_cg=True``): the off-diagonal blocks STAY on their
       shard; only the already-reduced (K, 6) gradient, (K, 6, 6) block
       diagonal and chi2 ride ONE fused ``psum`` — the CG matvec then psums
       its off-diagonal contribution per iteration (``_make_hvp``). Right
       when collectives are cheap relative to O(E) compute (ICI, or the
       virtual-device harness where replicated work burns shared cores).
+    - sharded linearization (``shard_lin=True``): EVERYTHING O(E) shards —
+      per-edge work AND the segment reductions (computed per shard, summed
+      from gathered partials) — and ONE fused ``all_gather`` per
+      linearization carries both the (K, 43) partial node system and this
+      shard's (E/N, 38) off-diagonal blocks, so the downstream CG runs
+      replicated and collective-free on the full system. This is the
+      session-scale 2-host mode: measured at K=4096 the segment sums are
+      ~half the linearization cost, and leaving them replicated (mode 1)
+      capped 2-host efficiency at ~0.7 no matter how cheap collectives get.
 
     The prior (replicated) is added after the reduction, exactly once.
     """
@@ -176,6 +187,14 @@ def _linearize_full(g: PoseGraph, poses: jax.Array,
     gj = jnp.einsum("eab,ea->eb", wj, r)
     chi2 = jnp.sum(r * r * gg.edge_info, axis=1)
     ei, ej = gg.edge_i, gg.edge_j
+    if axis is not None and shard_lin:
+        # same assembly as shard_cg: bij/ei/ej stay LOCAL (the LM carry and
+        # accept-selects then touch only this shard's E/N rows — carrying
+        # REPLICATED full-E blocks measured ~27 ms/iteration of pure copy
+        # traffic on one core at E=10k), nodes ride one fused psum; the
+        # off-diagonal blocks are gathered per LM iteration by solve_impl
+        # for the replicated CG.
+        shard_cg = True
     if axis is not None and not shard_cg:
         packed = jnp.concatenate([
             bii.reshape(-1, 36), bjj.reshape(-1, 36), bij.reshape(-1, 36),
@@ -278,6 +297,102 @@ def _dense_lm_solve(lin: _Lin, damped_diag, grad, mask):
     return dx * mask[:, None].astype(grad.dtype)
 
 
+def _pcg_ksharded(lin: _Lin, lam, damped_diag, mask, iters: int, axis: str,
+                  tol: float = 1e-8, rel_tol: float = 1e-2):
+    """Fully-sharded PCG for ``shard_cg`` mode: CG VECTORS shard over K.
+
+    The round-4 sharded-CG kept x/r/z/p replicated — every device ran the
+    full O(K) vector updates and preconditioner applies, which multiplies
+    real CPU load on the shared-core virtual-device harness (measured: the
+    8-virtual-device solve was slower than 1 device purely from the CG
+    inner loop). Here each device owns a K/N slice: the matvec gathers p
+    once (K x 6, ~100 KB), computes its edge shard's contribution and
+    psum_scatters straight back to slices; the block-Jacobi inverse is
+    computed and applied on the local slice only; the two dot products ride
+    scalar psums. 4 small collectives per CG iteration — on ICI (or
+    in-process virtual devices) they are ~us, and NO O(K) or O(E) work is
+    replicated anywhere in the solve.
+
+    Requires K % n_dev == 0 (callers fall back to the replicated CG
+    otherwise). Returns the FULL dx (one final all_gather).
+    """
+    K = lin.grad.shape[0]
+    n_dev = jax.lax.axis_size(axis)
+    kn = K // n_dev
+    me = jax.lax.axis_index(axis)
+
+    def sl(a):
+        return jax.lax.dynamic_slice_in_dim(a, me * kn, kn)
+
+    b = -lin.grad
+    m_sl = sl(mask)[:, None].astype(b.dtype)
+    pinv_sl = jnp.linalg.inv(sl(damped_diag))        # local slice only
+    diag_sl = sl(lin.diag)
+    damp_sl = jnp.maximum(
+        lam * jnp.diagonal(diag_sl, axis1=-2, axis2=-1), lam * 1e-6)
+
+    def apply_p(r_sl):
+        return jnp.einsum("kab,kb->ka", pinv_sl, r_sl) * m_sl
+
+    # Deferred-beta PCG: exactly TWO collectives per iteration.
+    #   A: all_gather([z_sl | p_prev_sl | rz_part]) — beta and the new
+    #      search direction are formed AFTER the gather, so the rz dot
+    #      product rides the same collective as the direction vectors;
+    #   B: psum([off-diagonal H p partial | p.Hp partial]) — the matvec
+    #      reduction and the alpha dot product fused.
+    # The convergence test uses the rz of the PREVIOUS iteration (one-lag
+    # exit: at most one extra iteration, no extra collective).
+    x0 = jnp.zeros((kn, 6), b.dtype)
+    r0 = sl(b) * m_sl
+    z0 = apply_p(r0)
+    rz_part0 = jnp.sum(r0 * z0)
+    rz0 = jax.lax.psum(rz_part0, axis)
+    floor = jnp.maximum(rel_tol * rel_tol * rz0, tol)
+
+    def cond(c):
+        _, _, _, _, _, rz_prev, it = c
+        return (it < iters) & (rz_prev > floor)
+
+    def body(c):
+        x, r, z, p_prev, rz_part, rz_prev, it = c
+        # A: gather direction ingredients + the rz reduction in one ride
+        packed = jnp.concatenate(
+            [z, p_prev, jnp.full((kn, 1), rz_part / kn, b.dtype)], axis=1)
+        gathered = jax.lax.all_gather(packed, axis, axis=0, tiled=True)
+        z_full = gathered[:, :6]
+        p_prev_full = gathered[:, 6:12]
+        rz = jnp.sum(gathered[:, 12])
+        beta = jnp.where(it == 0, 0.0, rz / jnp.maximum(rz_prev, 1e-30))
+        p_full = z_full + beta * p_prev_full
+        p = z + beta * p_prev
+        # B: matvec off-diagonal partial + the diag-term dot partial fused
+        # into one psum; after it, off is replicated so the p.Hp
+        # off-diagonal dot is local on every device.
+        ui = jnp.einsum("eab,eb->ea", lin.bij, p_full[lin.ej])
+        uj = jnp.einsum("eab,ea->eb", lin.bij, p_full[lin.ei])
+        off = jax.ops.segment_sum(ui, lin.ei, num_segments=K)
+        off = off + jax.ops.segment_sum(uj, lin.ej, num_segments=K)
+        diag_term = jnp.einsum("kab,kb->ka", diag_sl, p) + damp_sl * p
+        pHp_diag_part = jnp.sum(p * diag_term)
+        red = jnp.concatenate(
+            [off, jnp.full((K, 1), pHp_diag_part / K, b.dtype)], axis=1)
+        red = jax.lax.psum(red, axis)
+        off_full = red[:, :6]
+        Hp = (sl(off_full) + diag_term) * m_sl
+        pHp = jnp.sum(p_full * off_full) + jnp.sum(red[:, 6])
+        alpha = rz / jnp.maximum(pHp, 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Hp
+        z = apply_p(r)
+        rz_part_new = jnp.sum(r * z)
+        return (x, r, z, p, rz_part_new, rz, it + 1)
+
+    x_sl, _, _, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, jnp.zeros((kn, 6), b.dtype), rz_part0,
+                     rz0, 0))
+    return jax.lax.all_gather(x_sl, axis, axis=0, tiled=True)
+
+
 def _pcg(hvp, b, precond_inv, mask, iters: int, tol: float = 1e-8,
          rel_tol: float = 1e-2):
     """Block-Jacobi preconditioned CG on H dx = b (masked nodes pinned to 0).
@@ -322,7 +437,7 @@ def _pcg(hvp, b, precond_inv, mask, iters: int, tol: float = 1e-8,
 
 def solve_impl(g: PoseGraph, max_iters: int = 10, cg_iters: int = 64,
                lambda0: float = 1e-4, axis: str | None = None,
-               shard_cg: bool = False) -> SolveResult:
+               shard_cg: bool = False, shard_lin: bool = False) -> SolveResult:
     """Levenberg-Marquardt with PCG inner solves (trace-time body).
 
     Per LM iteration: solve the damped normal equations of the CARRIED
@@ -345,7 +460,10 @@ def solve_impl(g: PoseGraph, max_iters: int = 10, cg_iters: int = 64,
     exactly that reason).
     """
     eye = jnp.broadcast_to(jnp.eye(6, dtype=g.poses.dtype), (g.poses.shape[0], 6, 6))
-    lin0 = _linearize_full(g, g.poses, axis, shard_cg)
+    lin0 = _linearize_full(g, g.poses, axis, shard_cg, shard_lin)
+    # shard_lin gathers the FULL system every linearization, so the inner
+    # solve (hvp, preconditioner, CG) is replicated and collective-free
+    inner_axis = None if shard_lin else axis
     K = g.poses.shape[0]
     n_dev = (jax.lax.axis_size(axis) if axis is not None and shard_cg
              else 1)
@@ -362,6 +480,21 @@ def solve_impl(g: PoseGraph, max_iters: int = 10, cg_iters: int = 64,
 
     use_dense = axis is None and K <= DENSE_SOLVE_MAX_K
 
+    def _expand_lin(lin: _Lin) -> _Lin:
+        """shard_lin: gather this shard's accepted off-diagonal blocks so
+        the CG below runs replicated and collective-free. One all_gather
+        per LM iteration; the LM carry keeps the LOCAL blocks."""
+        packed = jnp.concatenate([
+            lin.bij.reshape(-1, 36),
+            lin.ei.astype(jnp.float32)[:, None],   # exact < 2^24
+            lin.ej.astype(jnp.float32)[:, None],
+        ], axis=1)
+        packed = jax.lax.all_gather(packed, axis, axis=0, tiled=True)
+        return lin._replace(
+            bij=packed[:, :36].reshape(-1, 6, 6),
+            ei=packed[:, 36].astype(jnp.int32),
+            ej=packed[:, 37].astype(jnp.int32))
+
     def lm_body(carry):
         poses, lam, lin, it, accepted = carry
         damped_diag = lin.diag + lam * (
@@ -370,15 +503,23 @@ def solve_impl(g: PoseGraph, max_iters: int = 10, cg_iters: int = 64,
         ) + 1e-8 * eye
         if use_dense:
             dx = _dense_lm_solve(lin, damped_diag, lin.grad, g.kf_mask)
+        elif (axis is not None and shard_cg and not shard_lin
+                and K % n_dev == 0 and n_dev > 1):
+            # fully-sharded inner solve: vectors, matvec, preconditioner
+            # all K/E-sharded — nothing O(K)/O(E) replicated
+            dx = _pcg_ksharded(lin, lam, damped_diag, g.kf_mask, cg_iters,
+                               axis)
         else:
             precond_inv = _precond_inv(damped_diag)
-            hvp = _make_hvp(lin, lam, axis, shard_cg)
+            cg_lin = _expand_lin(lin) if shard_lin else lin
+            hvp = _make_hvp(cg_lin, lam, inner_axis,
+                            shard_cg and not shard_lin)
             dx = _pcg(hvp, -lin.grad, precond_inv, g.kf_mask, cg_iters)
 
         trial = geo.pose_compose(poses, geo.se3_exp(dx))
         trial = geo.reorthonormalize(trial)
         trial = jnp.where(g.kf_mask[:, None, None], trial, poses)
-        lin_t = _linearize_full(g, trial, axis, shard_cg)
+        lin_t = _linearize_full(g, trial, axis, shard_cg, shard_lin)
         accept = lin_t.cost < lin.cost
         poses = jnp.where(accept, trial, poses)
         lin = jax.tree_util.tree_map(

@@ -31,20 +31,24 @@ from ..ops import posegraph as pgo
 
 
 def sharded_solve(mesh: Mesh, axis: str = "kf", max_iters: int = 10,
-                  cg_iters: int = 64, shard_cg: bool = False):
+                  cg_iters: int = 64, shard_cg: bool = False,
+                  shard_lin: bool = False):
     """Build a jitted edge-sharded solver: PoseGraph -> SolveResult.
 
     Edge arrays must be shardable by ``mesh.shape[axis]`` along dim 0
     (pad ``e_cap`` to a multiple of the mesh size). Poses/prior replicate.
     ``shard_cg`` selects the fine-grained mode where the CG matvec and
-    preconditioner shard too (one (K, 6) psum per CG iteration) instead of
-    running replicated — see ``ops.posegraph.solve_impl`` for the
-    latency-vs-replication trade.
+    preconditioner shard too (one (K, 6) psum per CG iteration);
+    ``shard_lin`` the session-scale mode where the whole linearization
+    (including segment reductions) shards behind ONE fused all_gather per
+    LM iteration and CG runs replicated — see ``ops.posegraph.solve_impl``
+    for the latency-vs-replication trade.
     """
 
     def body(g: pgo.PoseGraph):
         return pgo.solve_impl(g, max_iters=max_iters, cg_iters=cg_iters,
-                              axis=axis, shard_cg=shard_cg)
+                              axis=axis, shard_cg=shard_cg,
+                              shard_lin=shard_lin)
 
     sharded = jax.shard_map(
         body,

@@ -57,7 +57,8 @@ def posegraph_worker(payload: Dict[str, Any], num_processes: int,
 
     fn = sharded_solve(mesh, axis="kf", max_iters=max_iters,
                        cg_iters=cg_iters,
-                       shard_cg=bool(payload.get("shard_cg", False)))
+                       shard_cg=bool(payload.get("shard_cg", False)),
+                       shard_lin=bool(payload.get("shard_lin", False)))
     res = fn(g)
     res.poses.block_until_ready()  # warmup/compile
 
