@@ -128,13 +128,22 @@ def _ring_graph(k: int, k_cap: int, e_cap: int, drift: float = 0.05,
 
 
 def dryrun(mesh: Mesh, axis: str | None = None) -> None:
-    """Compile + execute the sharded BA step on the given mesh (driver hook)."""
+    """Compile + execute the sharded BA step on the given mesh (driver hook).
+
+    Covers all THREE distribution modes: replicated-CG, fully-sharded CG
+    (K-sharded vectors, two collectives per CG iteration), and sharded
+    linearization (local off-diagonal carries + per-LM gather)."""
     if axis is None:
         axis = next(iter(mesh.shape))
     n = int(np.prod(list(mesh.shape.values())))
-    g = _ring_graph(k=24, k_cap=32, e_cap=((64 + n - 1) // n) * n)
-    fn = sharded_solve(mesh, axis=axis, max_iters=4, cg_iters=16)
-    res = fn(g)
-    res.poses.block_until_ready()
-    assert np.isfinite(np.asarray(res.cost)), "sharded BA produced non-finite cost"
-    assert float(res.cost) <= float(res.cost0), "sharded BA did not reduce cost"
+    # k_cap divisible by the mesh so the K-sharded PCG slices evenly
+    k_cap = ((32 + n - 1) // n) * n
+    g = _ring_graph(k=24, k_cap=k_cap, e_cap=((64 + n - 1) // n) * n)
+    for kw in ({}, {"shard_cg": True}, {"shard_lin": True}):
+        fn = sharded_solve(mesh, axis=axis, max_iters=4, cg_iters=16, **kw)
+        res = fn(g)
+        res.poses.block_until_ready()
+        assert np.isfinite(np.asarray(res.cost)), (
+            f"sharded BA produced non-finite cost ({kw})")
+        assert float(res.cost) <= float(res.cost0), (
+            f"sharded BA did not reduce cost ({kw})")
