@@ -150,27 +150,33 @@ def probe_link(n_bytes: int = 4 << 20) -> dict:
 
     The round-4 driver artifact was captured during a degraded-tunnel
     episode and was unusable for round-over-round comparison; this probe
-    makes every artifact carry its own link conditions (VERDICT r4 #2)."""
+    makes every artifact carry its own link conditions (VERDICT r4 #2).
+    Never raises — a wedged tunnel yields an error marker, not a dead
+    bench."""
     import jax
     import jax.numpy as jnp
 
-    f = jax.jit(lambda x: x + 1.0)
-    x = jnp.zeros((8,), jnp.float32)
-    np.asarray(f(x))  # compile + settle
-    rtts = []
-    for _ in range(5):
+    try:
+        f = jax.jit(lambda x: x + 1.0)
+        x = jnp.zeros((8,), jnp.float32)
+        np.asarray(f(x))  # compile + settle
+        rtts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(f(x))
+            rtts.append(time.perf_counter() - t0)
+        big = np.zeros((n_bytes // 4,), np.float32)
         t0 = time.perf_counter()
-        np.asarray(f(x))
-        rtts.append(time.perf_counter() - t0)
-    big = np.zeros((n_bytes // 4,), np.float32)
-    t0 = time.perf_counter()
-    np.asarray(jnp.asarray(big) + 1.0)
-    xfer_s = time.perf_counter() - t0
-    return {
-        "rtt_ms_median": round(1e3 * float(np.median(rtts)), 1),
-        "rtt_ms_min": round(1e3 * float(np.min(rtts)), 1),
-        "xfer_mb_per_s": round(2 * n_bytes / 1e6 / max(xfer_s, 1e-9), 1),
-    }
+        np.asarray(jnp.asarray(big) + 1.0)
+        xfer_s = time.perf_counter() - t0
+        return {
+            "rtt_ms_median": round(1e3 * float(np.median(rtts)), 1),
+            "rtt_ms_min": round(1e3 * float(np.min(rtts)), 1),
+            "xfer_mb_per_s": round(2 * n_bytes / 1e6 / max(xfer_s, 1e-9), 1),
+        }
+    except Exception as e:  # a dead link must not kill the JSON line
+        return {"error": repr(e)[:120], "rtt_ms_median": float("inf"),
+                "xfer_mb_per_s": 0.0}
 
 
 def _rss_mb() -> float:

@@ -185,9 +185,11 @@ def main() -> int:
     # latency and scale — all measured, the best raw number is the headline.
     pg_rep = _pg_mode("replicated_cg", pg_payload, n_max, per_coll,
                       1 + LM_ITERS)
+    # fully-sharded PCG: 2 fused collectives per CG iteration + the node
+    # psum per linearization + the final dx gather per LM step
     pg_shard = _pg_mode(
         "sharded_cg", {**pg_payload, "shard_cg": True}, n_max, per_coll,
-        (1 + LM_ITERS) + LM_ITERS * (1 + CG_ITERS))
+        (1 + LM_ITERS) + LM_ITERS * (2 * CG_ITERS + 2))
     pg_lin = _pg_mode("sharded_lin", {**pg_payload, "shard_lin": True},
                       n_max, per_coll, 1 + LM_ITERS)
     best = max(pg_rep, pg_shard, pg_lin,
