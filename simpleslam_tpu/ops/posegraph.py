@@ -120,11 +120,14 @@ def _psum(x, axis):
     return jax.lax.psum(x, axis) if axis is not None else x
 
 
+@partial(jax.jit, static_argnames=("axis",))
 def graph_cost(g: PoseGraph, axis: str | None = None) -> jax.Array:
     """Total chi2 = sum_e r^T W r + prior (the GTSAM error function role).
 
     With ``axis`` set (inside shard_map, edges sharded over that mesh axis)
     the edge sum rides a psum; the prior is added once post-reduction.
+    Jitted: the vmapped autodiff body is ~20 s of EAGER op dispatch
+    otherwise (jit-under-jit is free when called from compiled callers).
     """
     r, _, _ = _linearize_edges(g)
     rp, _ = _linearize_prior(g)

@@ -20,6 +20,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
+import os
+
 import numpy as np
 
 from ..ops import geometry as geo
@@ -604,6 +606,46 @@ def _planar_to_pose(xyyaw: np.ndarray) -> np.ndarray:
     poses[:, 0, 3] = xyyaw[:, 0]
     poses[:, 1, 3] = xyyaw[:, 1]
     return poses
+
+
+def cache_streams(tag: str, builder):
+    """Deterministic disk cache for simulated sensor streams (test/bench
+    fixtures). Enabled by the ``SIMPLESLAM_SIM_CACHE`` env var (a directory;
+    tests/conftest.py sets it): ray-casting a multi-hundred-scan fixture
+    costs tens of seconds of pure numpy per suite run while being fully
+    deterministic. The cache key hashes THIS module's source AND the
+    caller's file, so any change to the simulator or to the fixture builder
+    invalidates automatically — a stale fixture can never mask a behavior
+    change.
+    """
+    import hashlib
+    import inspect
+    import pickle
+    import re
+
+    cache_dir = os.environ.get("SIMPLESLAM_SIM_CACHE", "")
+    if not cache_dir:
+        return builder()
+    h = hashlib.sha256()
+    h.update(open(__file__, "rb").read())
+    try:
+        caller = inspect.stack()[1].filename
+        h.update(open(caller, "rb").read())
+    except OSError:
+        pass
+    h.update(tag.encode())
+    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", tag)[:80]
+    fn = os.path.join(cache_dir, f"streams_{safe}_{h.hexdigest()[:20]}.pkl")
+    if os.path.isfile(fn):
+        with open(fn, "rb") as f:
+            return pickle.load(f)
+    out = builder()
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = fn + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        pickle.dump(out, f)
+    os.replace(tmp, fn)
+    return out
 
 
 # ---------------------------------------------------------------------------

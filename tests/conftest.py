@@ -12,6 +12,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# deterministic simulated-stream fixtures cache to disk (keyed by source
+# hashes — see simulate.cache_streams); warm suite runs skip ~60 s of pure
+# numpy ray-casting
+os.environ.setdefault(
+    "SIMPLESLAM_SIM_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "simpleslam_test_streams"))
+
 import jax  # noqa: E402
 
 # The axon sitecustomize force-sets jax_platforms="axon,cpu" after register();

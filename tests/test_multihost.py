@@ -30,8 +30,8 @@ def test_two_hosts_devices_and_collective():
 @pytest.mark.slow
 def test_two_host_posegraph_parity():
     """The 2-host edge-sharded solve matches the single-process solve."""
-    payload = {"k": 48, "k_cap": 64, "e_cap": 128, "max_iters": 6,
-               "cg_iters": 32, "reps": 1, "n_lc": 2, "return_poses": 48}
+    payload = {"k": 48, "k_cap": 64, "e_cap": 128, "max_iters": 4,
+               "cg_iters": 16, "reps": 1, "n_lc": 2, "return_poses": 48}
     res = mh.run_hosts(
         2, "simpleslam_tpu.parallel.workers:posegraph_worker", payload,
         devices_per_host=1, timeout=300.0)

@@ -97,7 +97,8 @@ def test_pipeline_with_backend_swap(pcr):
                  "frontend": {"pcr": pcr},
                  "tpu": {"scan_capacity": 16384}})
     world = sim.make_world(seed=5)
-    streams = sim.simulate_sequence(world, n_scans=30, seed=5)
+    streams = sim.cache_streams(
+        "nv30s5", lambda: sim.simulate_sequence(world, n_scans=30, seed=5))
     system = app.SlamSystem()
     result = app.run_offline(system, streams)
     ate = sim.ate_rmse(streams.gt_poses, result.poses, align=False)

@@ -26,7 +26,8 @@ def mapping_run(tmp_path_factory):
     out = tmp_path_factory.mktemp("mapdir")
     Params.load(_map_cfg(out))
     world = sim.make_world(seed=5)
-    streams = sim.simulate_sequence(world, n_scans=60, seed=5)
+    streams = sim.cache_streams(
+        "full60s5", lambda: sim.simulate_sequence(world, n_scans=60, seed=5))
     system = app.SlamSystem()
     result = app.run_offline(system, streams)
     system.shutdown()

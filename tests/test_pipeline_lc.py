@@ -78,9 +78,10 @@ def lc_run():
         },
     })
     world = make_courtyard(RADIUS, seed=0)
-    streams = sim.simulate_sequence(
-        world, n_scans=N_SCANS, seed=2, radius=RADIUS, speed=SPEED,
-        n_az=720, n_el=12, scan_noise=0.03)
+    streams = sim.cache_streams(
+        "lc_courtyard", lambda: sim.simulate_sequence(
+            world, n_scans=N_SCANS, seed=2, radius=RADIUS, speed=SPEED,
+            n_az=720, n_el=12, scan_noise=0.03))
     system = app.SlamSystem()
     result = run_streamed(system, streams)
     return streams, system, result
@@ -193,9 +194,12 @@ def multi_loop_run():
         },
     })
     world = make_courtyard(RADIUS, seed=0)
-    streams = _spiral_streams(world, n_scans=540)
+    streams = sim.cache_streams(
+        "lc_spiral540", lambda: _spiral_streams(world, n_scans=540))
     system = app.SlamSystem()
-    result = run_streamed(system, streams)
+    # 32-scan batches: halves per-batch host overhead on this long fixture
+    # (the bench's production setting; assertions are batch-size-agnostic)
+    result = run_streamed(system, streams, sync_every=32)
     return streams, system, result
 
 

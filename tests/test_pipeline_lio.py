@@ -18,7 +18,8 @@ def lio_result():
     Params.load({"mode": "lio", "backend": {"enable": False},
                  "tpu": {"scan_capacity": 16384}})
     world = sim.make_world(seed=7)
-    streams = sim.simulate_sequence(world, n_scans=60, seed=7)
+    streams = sim.cache_streams(
+        "lio60s7", lambda: sim.simulate_sequence(world, n_scans=60, seed=7))
     system = app.SlamSystem()
     result = app.run_offline(system, streams)
     return streams, result, system

@@ -18,7 +18,8 @@ def lo_result():
     cfg = Params.load({"mode": "lo", "backend": {"enable": False},
                        "tpu": {"scan_capacity": 16384}})
     world = sim.make_world(seed=5)
-    streams = sim.simulate_sequence(world, n_scans=80, seed=5)
+    streams = sim.cache_streams(
+        "lo80s5", lambda: sim.simulate_sequence(world, n_scans=80, seed=5))
     system = app.SlamSystem()
     result = app.run_offline(system, streams)
     return streams, result, system

@@ -19,7 +19,9 @@ def _run(mode_streamed: bool, n_scans: int = 45, backend: bool = False):
                  "frontend": {"pcr": "loam"},
                  "tpu": {"scan_capacity": 16384}})
     world = sim.make_world(seed=3)
-    streams = sim.simulate_sequence(world, n_scans=n_scans, seed=3)
+    streams = sim.cache_streams(
+        f"str{n_scans}s3",
+        lambda: sim.simulate_sequence(world, n_scans=n_scans, seed=3))
     system = app.SlamSystem()
     if mode_streamed:
         result = run_streamed(system, streams, sync_every=8)
@@ -54,7 +56,8 @@ def test_streamed_lio():
                  "frontend": {"pcr": "loam"},
                  "tpu": {"scan_capacity": 16384}})
     world = sim.make_world(seed=1)
-    streams = sim.simulate_sequence(world, n_scans=30, seed=1)
+    streams = sim.cache_streams(
+        "str30s1", lambda: sim.simulate_sequence(world, n_scans=30, seed=1))
     system = app.SlamSystem()
     r = run_streamed(system, streams, sync_every=8)
     ate = sim.ate_rmse(streams.gt_poses, r.poses, align=False)

@@ -21,7 +21,8 @@ def global_map(tmp_path_factory):
     """A prebuilt global PCD assembled from ground-truth-posed scans."""
     out = tmp_path_factory.mktemp("streamed_loc")
     world = sim.make_world(seed=1)
-    streams = sim.simulate_sequence(world, n_scans=80, seed=1)
+    streams = sim.cache_streams(
+        "loc80s1", lambda: sim.simulate_sequence(world, n_scans=80, seed=1))
     clouds = []
     for i in range(0, 80, 4):
         p = streams.gt_poses[i]

@@ -14,11 +14,12 @@ def test_threaded_lo_processes_all_scans():
                  "dataproxy": {"lidar_size": 4},
                  "tpu": {"scan_capacity": 16384}})
     world = sim.make_world(seed=5)
-    streams = sim.simulate_sequence(world, n_scans=40, seed=5)
+    streams = sim.cache_streams(
+        "thr28s5", lambda: sim.simulate_sequence(world, n_scans=28, seed=5))
     system = app.SlamSystem()
     result = threaded.run_threaded(system, streams)
     # bag mode: blocking backpressure means no scan is dropped
-    assert result.extras["n_processed"] == 40
+    assert result.extras["n_processed"] == 28
     ate = sim.ate_rmse(streams.gt_poses, result.poses, align=False)
     assert ate < 0.2, ate
     assert result.keyframe_count >= 4
@@ -31,7 +32,8 @@ def test_threaded_with_backend():
                  "tpu": {"scan_capacity": 16384, "max_keyframes": 128,
                          "max_edges": 256}})
     world = sim.make_world(seed=6)
-    streams = sim.simulate_sequence(world, n_scans=30, seed=6)
+    streams = sim.cache_streams(
+        "thr30s6", lambda: sim.simulate_sequence(world, n_scans=30, seed=6))
     system = app.SlamSystem()
     result = threaded.run_threaded(system, streams)
     assert result.extras["n_processed"] == 30
