@@ -206,6 +206,31 @@ class Backend:
         opt = self._solve(kf_poses, strong=bool(event & KFEvent.LC),
                           pre_fetch_hook=pre_fetch_hook)
 
+        # No-op solve short-circuit: a consistent odometry-only graph leaves
+        # every pose where it was (chi2 ~ 0, dx ~ 0). Writing the f32 solve
+        # round-trip back — and broadcasting a float-noise "delta" the
+        # executor then composes/reorthonormalizes into its pose chain ~100
+        # times per session — perturbs downstream state for zero correction,
+        # and at marginal-geometry stretches those micro-perturbations were
+        # measured flipping a bistable registration between runs. Real
+        # corrections (loop closures, drift redistribution) pass untouched.
+        moved = max(
+            (float(np.linalg.norm(o[:3, 3] - p[:3, 3]))
+             for o, p in zip(opt, kf_poses)), default=0.0)
+        if moved < 1e-4:
+            self.last_delta = np.eye(4)
+            self.last_kf_count = len(kf_poses)
+            return False
+        # solver sanity: a blown-up solve (non-finite, or absurd pose moves
+        # from an inconsistent factor at f32) must never be written back —
+        # one garbage write-back poisons every submap and correction after it
+        if not all(np.isfinite(o).all() for o in opt) or moved > 1e4:
+            self.lg.error("discarding non-finite/blown-up solve "
+                          "(max move %.1f m)", moved)
+            self.n_discarded_solves = getattr(
+                self, "n_discarded_solves", 0) + 1
+            return False
+
         with self.kf_obj.lock:
             kfs = self.kf_obj.keyframes
             n = min(len(opt), len(kfs))

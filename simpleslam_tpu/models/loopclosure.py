@@ -72,6 +72,15 @@ class LoopClosureManager:
         self.context_ds = float(lc_cfg["contextDownSampleGridSize"])
         self.history_range = int(lc_cfg["historySubmapRange"])
         self.fitness_thresh = float(lc_cfg["fitnessThreshold"])
+        # Optional closure plausibility gate: reject accepted closures whose
+        # implied correction ||refined - cur_pose|| exceeds this (meters).
+        # 0 disables (reference behavior). Deployment-tuned like every LC
+        # threshold: set it to a generous multiple of the expected drift
+        # scale — a "verified" closure demanding a far larger correction is
+        # a false positive (similar-looking structure), and one such edge
+        # bends the whole graph.
+        self.max_correction = float(lc_cfg.get("maxCorrectionMeters", 0.0))
+        self.n_rejected_correction = 0
 
         self.context = context if context is not None else make_context()
         self.lc_size = 0  # processed watermark (lc_size_)
@@ -228,6 +237,14 @@ class LoopClosureManager:
                          old_key, i, fs, conv)
             self.n_verify_converged += bool(conv)
             if conv and fs < self.fitness_thresh:
+                corr = float(np.linalg.norm(refined[:3, 3] - cur_pose[:3, 3]))
+                if self.max_correction > 0 and corr > self.max_correction:
+                    self.n_rejected_correction += 1
+                    self.lg.warn(
+                        "rejecting closure %d->%d: implied correction "
+                        "%.2f m > %.2f m gate", old_key, i, corr,
+                        self.max_correction)
+                    continue
                 between = np.linalg.inv(old_pose) @ refined
                 if len(self.lc_queue) >= self._lc_queue_cap:
                     # drop-oldest overflow loses an ACCEPTED factor — count

@@ -243,16 +243,22 @@ class MapManager:
             return  # localization mode: static global map
         with self.kf_obj.lock:
             kfs = list(self.kf_obj.keyframes)
+            # pose SNAPSHOT under the lock: the backend worker rewrites
+            # kf.pose during its write-back (optim_once holds this lock);
+            # reading poses outside it could mix pre- and post-solve epochs
+            # in one submap — after a large loop-closure correction that
+            # mixed-epoch map is garbage and registration diverges
+            kf_poses = [k.pose for k in kfs]
         if not kfs:
             self.lg.warn("no any keyframes to update!!")
             return
-        pos = np.stack([k.pose[:3, 3] for k in kfs])
+        pos = np.stack([p[:3, 3] for p in kf_poses])
         center = self.cur_pose.load()[:3, 3]
         d2 = np.sum((pos - center) ** 2, axis=1)
         sel = np.where(d2 <= SURROUNDING_KF_SEARCH_RADIUS ** 2)[0]
         merged = native.transform_concat(
             [kfs[i].xyz for i in sel],
-            np.stack([kfs[i].pose for i in sel]) if len(sel) else np.zeros((0, 4, 4)),
+            np.stack([kf_poses[i] for i in sel]) if len(sel) else np.zeros((0, 4, 4)),
         )
         with self.kf_obj.lock:
             self.kf_obj.submap_idx = set(int(i) for i in sel)
@@ -351,10 +357,13 @@ class MapManager:
             return
         with self.kf_obj.lock:
             kfs = list(self.kf_obj.keyframes)
+            # pose snapshot under the lock (see update_map: a mixed-epoch
+            # window during backend write-back must not reach the target)
+            kf_poses = [k.pose for k in kfs]
         if not kfs:
             self.lg.warn("no any keyframes to update!!")
             return
-        pos = np.stack([k.pose[:3, 3] for k in kfs])
+        pos = np.stack([p[:3, 3] for p in kf_poses])
         center = self.cur_pose.load()[:3, 3]
         d2 = np.sum((pos - center) ** 2, axis=1)
         sel = np.where(d2 <= SURROUNDING_KF_SEARCH_RADIUS ** 2)[0]
@@ -373,9 +382,9 @@ class MapManager:
             # per-solve backend corrections must not force a rebuild each
             # keyframe event
             poses_same = none_left and all(
-                np.linalg.norm(kfs[int(i)].pose[:3, 3]
+                np.linalg.norm(kf_poses[int(i)][:3, 3]
                                - old_poses[k][:3, 3]) < 0.05
-                and np.abs(kfs[int(i)].pose[:3, :3]
+                and np.abs(kf_poses[int(i)][:3, :3]
                            - old_poses[k][:3, :3]).max() < 2e-3
                 for k, i in enumerate(old_sel))
             if (poses_same
@@ -385,7 +394,7 @@ class MapManager:
                 return
         self._last_build = (
             np.asarray(sel).copy(),
-            np.stack([kfs[int(i)].pose for i in sel]) if len(sel)
+            np.stack([kf_poses[int(i)] for i in sel]) if len(sel)
             else np.zeros((0, 4, 4)),
             center.copy())
         self.n_device_builds = getattr(self, "n_device_builds", 0) + 1
@@ -395,7 +404,7 @@ class MapManager:
         maskw = np.zeros(w, bool)
         for k, i in enumerate(sel):
             idx[k] = i
-            poses[k] = kfs[i].pose.astype(np.float32)
+            poses[k] = kf_poses[i].astype(np.float32)
             maskw[k] = True
         target = self.register.build_target_from_window(
             self._kf_store, idx, poses, maskw,

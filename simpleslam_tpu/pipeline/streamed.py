@@ -72,12 +72,18 @@ from .app import SlamResult, SlamSystem
 UPLOAD_SCALE = 125.0 / 32767.0
 UPLOAD_PAD = np.int16(32767)
 
+# Unconditional cap on the const-velocity prediction's per-scan translation
+# (meters): inert for any physical sensor at scan rate, prevents the
+# velocity-model feedback loop from ever amplifying a chain inconsistency
+# into overflow (see _batch_body).
+STEP_CAP = 5.0
+
 
 def _batch_body(ds_stack: jax.Array, local_odoms: jax.Array, target,
                 pose_prev: jax.Array, pose_prev2: jax.Array,
                 odom2map: jax.Array, kind: str, mode: str,
-                clamp: bool, degen: float, reduce_fn=None,
-                rmax_reduce_fn=None, axis_reduce=None):
+                clamp: bool, degen: float, jump_cap: float = 0.0,
+                reduce_fn=None, rmax_reduce_fn=None, axis_reduce=None):
     """K odometry steps as ONE program: ``lax.scan`` over the scan axis
     (trace-time body, shared by the single-device jit and the mesh-sharded
     wrapper — ``reduce_fn`` reduces per-shard normal equations there).
@@ -102,14 +108,46 @@ def _batch_body(ds_stack: jax.Array, local_odoms: jax.Array, target,
             # loose coupling: predict through odom2map (LidarOdometry.cpp:129)
             init = geo.pose_compose(o2m, lo_pose)
         else:
-            # constant-velocity prediction from the device chain
+            # constant-velocity prediction from the device chain, with the
+            # extrapolated per-scan translation capped UNCONDITIONALLY: the
+            # velocity model is an AMPLIFIER — once two successive chain
+            # poses disagree by D, uncapped extrapolation re-applies D
+            # every scan and registration can grow it further (measured: a
+            # marginal-geometry stretch compounded a 3 m disagreement into
+            # 1e33 m within ~40 keyframes). No physical sensor moves 5 m
+            # between 10 Hz scans, so the cap is inert on every sane
+            # trajectory and bounds the chain on every insane one.
             step = geo.pose_compose(geo.pose_inverse(prev2), prev)
+            st_t = step[:3, 3]
+            sn = jnp.linalg.norm(st_t)
+            step = step.at[:3, 3].set(
+                st_t * jnp.minimum(1.0, STEP_CAP / jnp.maximum(sn, 1e-9)))
             init = geo.pose_compose(prev, step)
         pose, conv, fit, iters, gathers, support = register_kind(
             pc, target, init, kind, degen, reduce_fn, rmax_reduce_fn,
             axis_reduce)
         if clamp:  # planar clamp each frame (frontend.planar_clamp config)
             pose = geo.six_dof_to_mobile(pose)
+        # NaN safety is UNCONDITIONAL (a single non-finite pose poisons the
+        # chain and every downstream keyframe); the jump-rejection guard is
+        # opt-in via tpu.max_scan_jump_m. Rejection sounds protective but
+        # measured WORSE on the deterministic longrun (3.86 m vs 0.30 m):
+        # a gated scan keeps the prediction, the small defect propagates
+        # into keyframes/submaps, and later registrations inherit it. The
+        # reference uses every result as-is (LidarOdometry.cpp:184-199);
+        # with the velocity-step cap above bounding runaways, that is also
+        # the more accurate policy. A graded rejection (converged results
+        # trusted to jump_cap, non-converged to a third of it) remains
+        # available for live deployments that prefer bounded-jump output.
+        finite = jnp.all(jnp.isfinite(pose))
+        if jump_cap > 0:
+            jump = jnp.linalg.norm(pose[:3, 3] - init[:3, 3])
+            ok = finite & jnp.where(conv, jump <= jump_cap,
+                                    jump <= jump_cap / 3.0)
+        else:
+            ok = finite
+        pose = jnp.where(ok, pose, init)
+        conv = conv & ok
         if mode == "lio":
             # odom2map update (LidarOdometry.cpp:238)
             o2m = geo.pose_compose(pose, geo.pose_inverse(lo_pose))
@@ -125,20 +163,22 @@ def _batch_body(ds_stack: jax.Array, local_odoms: jax.Array, target,
     return carry, packed
 
 
-@partial(jax.jit, static_argnames=("kind", "mode", "clamp", "degen"))
+@partial(jax.jit,
+         static_argnames=("kind", "mode", "clamp", "degen", "jump_cap"))
 def _streamed_batch(ds_stack: jax.Array, local_odoms: jax.Array, target,
                     pose_prev: jax.Array, pose_prev2: jax.Array,
                     odom2map: jax.Array, kind: str, mode: str,
-                    clamp: bool = True, degen: float = 0.0):
+                    clamp: bool = True, degen: float = 0.0,
+                    jump_cap: float = 0.0):
     return _batch_body(ds_stack, local_odoms, target, pose_prev, pose_prev2,
-                       odom2map, kind, mode, clamp, degen)
+                       odom2map, kind, mode, clamp, degen, jump_cap)
 
 
 _SHARDED_BATCH_CACHE = {}
 
 
 def make_sharded_batch(mesh, kind: str, mode: str, clamp: bool, degen: float,
-                       axis: str = "dp"):
+                       axis: str = "dp", jump_cap: float = 0.0):
     """Mesh-sharded batch program: scan POINTS sharded over ``axis``.
 
     The BASELINE.json north star made executable: each batch's (K, C, 3)
@@ -151,7 +191,7 @@ def make_sharded_batch(mesh, kind: str, mode: str, clamp: bool, degen: float,
     work). Cached per (mesh, config) so repeat calls reuse the compiled
     program.
     """
-    key = (id(mesh), kind, mode, clamp, degen, axis)
+    key = (id(mesh), kind, mode, clamp, degen, axis, jump_cap)
     fn = _SHARDED_BATCH_CACHE.get(key)
     if fn is not None:
         return fn
@@ -167,7 +207,7 @@ def make_sharded_batch(mesh, kind: str, mode: str, clamp: bool, degen: float,
     def body(ds_stack, local_odoms, target, pose_prev, pose_prev2, odom2map):
         return _batch_body(ds_stack, local_odoms, target, pose_prev,
                            pose_prev2, odom2map, kind, mode, clamp, degen,
-                           fused_psum,
+                           jump_cap, fused_psum,
                            lambda r: jax.lax.pmax(r, axis),
                            lambda v: jax.lax.psum(v, axis))
 
@@ -516,6 +556,10 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
     mode = system.mode
     clamp = bool(cfg["frontend"].get("planar_clamp", True))
     degen = float(system.register.degen_per_row)
+    # jump rejection default OFF (reference-faithful: results used as-is;
+    # the measured-safer policy — see _batch_body's guard rationale). NaN
+    # safety and the velocity STEP_CAP are unconditional regardless.
+    jump_cap = float(cfg["tpu"].get("max_scan_jump_m", 0.0))
 
     # multi-chip execution: tpu.mesh_devices > 0 runs the WHOLE mapping
     # pipeline on a device mesh — scan points sharded over "dp" for
@@ -527,10 +571,11 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh(mesh_n, ("dp",))
-        batch_fn = make_sharded_batch(mesh, kind, mode, clamp, degen)
+        batch_fn = make_sharded_batch(mesh, kind, mode, clamp, degen,
+                                      jump_cap=jump_cap)
     else:
         batch_fn = partial(_streamed_batch, kind=kind, mode=mode,
-                           clamp=clamp, degen=degen)
+                           clamp=clamp, degen=degen, jump_cap=jump_cap)
 
     scan_stamps = np.asarray(streams.scan_stamps)
     n_scans = len(scan_stamps)
@@ -566,8 +611,19 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
     sort_grid = getattr(system.register, "TARGET_GRID",
                         getattr(system.register, "RESOLUTION", 0.0))
     prep = _ScanPrep(streams.scans, grid, dsc, sort_grid=float(sort_grid))
+    # Deterministic bag-mode backend (tpu.sync_backend): service keyframe
+    # events INLINE at batch boundaries instead of on the resident worker
+    # thread. Offline replay has no real-time constraint, and thread-timing
+    # nondeterminism in WHEN solves/closures land was measured flipping a
+    # marginal-geometry longrun between 0.2 m and ~15 m ATE run-to-run —
+    # the exact "accuracy must be a function of the data" failure this
+    # round exists to close. Throughput pays the serialized solve cost;
+    # accuracy becomes reproducible. Default off (live-style asynchrony,
+    # the reference's thread topology).
+    sync_backend = (bool(cfg["tpu"].get("sync_backend", False))
+                    and system.backend is not None)
     worker = (_BackendWorker(system, timers)
-              if system.backend is not None else None)
+              if system.backend is not None and not sync_backend else None)
 
     # --- bootstrap ----------------------------------------------------------
     # Fresh map: scan 0 seeds the map (generate_odom's empty-submap branch,
@@ -742,6 +798,22 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
         if worker is not None:
             for delta, kf_count in worker.drain():
                 _apply_backend_delta(delta, kf_count)
+        elif sync_backend and mm.kf_obj.is_event_coming():
+            # deterministic inline service (the optimHandler turn run
+            # synchronously, run_offline-style; see sync_backend above)
+            tt.tic()
+            be = system.backend
+            hook = (system.loop_closure.dispatch_queries
+                    if system.loop_closure is not None else None)
+            if be.optim_once(pre_fetch_hook=hook):
+                _apply_backend_delta(be.last_delta, be.last_kf_count)
+            timers.add("backend", tt.toc())
+            if system.loop_closure is not None:
+                tt.tic()
+                if system.loop_closure.lc_handler_once():
+                    if be.optim_once():
+                        _apply_backend_delta(be.last_delta, be.last_kf_count)
+                timers.add("lc", tt.toc())
         # map rebuilds are dispatched at the NEXT batch dispatch (see
         # dispatch(): double-buffered behind the registration batch)
 
@@ -752,6 +824,14 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
         rewrite, Backend.cpp:333-342), and the corrections pending batches
         will be rebased with at retire time."""
         nonlocal pose_prev, pose_prev2, odom2map
+        # correction sanity: a non-finite or implausibly large rigid delta
+        # (a solve that blew up despite the backend's own guards) must not
+        # reach the chain/trajectory — one poisoned delta NaNs the session
+        if (not np.isfinite(delta_np).all()
+                or np.linalg.norm(delta_np[:3, 3]) > 1e3):
+            lg.error("dropping non-finite/implausible backend delta")
+            stats["n_dropped_deltas"] = stats.get("n_dropped_deltas", 0) + 1
+            return
         delta = jnp.asarray(delta_np.astype(np.float32))
         pose_prev = _apply_delta(delta, pose_prev)
         pose_prev2 = _apply_delta(delta, pose_prev2)
@@ -819,6 +899,15 @@ def run_streamed(system: SlamSystem, streams: sim.SensorStreams,
     pending = deque()
     while si < n_scans or pending:
         if si < n_scans and not _backlogged():
+            # corrections reach the chain (and the rebuild at dispatch)
+            # BEFORE more scans register — not only at retire: a solve
+            # completing during a backpressure stall or deep pipelining
+            # must not leave further batches in the stale frame (the
+            # inconsistency window shrinks to in-flight solve time, the
+            # reference's own async bound)
+            if worker is not None:
+                for delta_, kfc_ in worker.drain():
+                    _apply_backend_delta(delta_, kfc_)
             _consume_reloc(si)
             batch, packed, pose_prev, pose_prev2, odom2map = dispatch(
                 si, pose_prev, pose_prev2, odom2map)

@@ -79,9 +79,16 @@ DEFAULT_PARAMS: dict = {
         "scan_capacity": 32768,      # raw scan points
         "ds_scan_capacity": 8192,    # downsampled scan points fed to PCR
         # streamed executor: device-resident keyframe store row capacity and
-        # the max keyframes merged per submap rebuild (8 m radius window)
+        # the max keyframes merged per submap rebuild (8 m radius window).
+        # The window cap must cover REVISIT density: the reference's radius
+        # search has NO cap (MapManager.cpp:176-192) — at 16, a second-lap
+        # pass saturates the window and drops half the local coverage,
+        # leaving registration marginal (29 % scan support measured) and
+        # bistable; the resulting slide self-poisons the map (ATE 0.22 m ->
+        # 71 m on the 1.8-lap longrun). 24 covers two-lap density at the
+        # 1 m keyframe gap inside 8 m.
         "kf_capacity": 8192,
-        "submap_kf_window": 16,
+        "submap_kf_window": 24,
         "submap_capacity": 131072,   # submap points
         "map_voxel_capacity": 65536, # voxel slots in the sorted neighbor map
         "max_pts_per_voxel": 8,

@@ -63,8 +63,12 @@ def test_correction_broadcast(small_caps):
 
     _push_kf(mm, 0.0, _pose(0, 0))
     _push_kf(mm, 1.0, _pose(2, 0))
-    assert bk.optim_once()
-    # graph is consistent: optimized poses equal inputs, delta ~ identity
+    # a CONSISTENT graph is a no-op solve: optim_once short-circuits
+    # (returns False, broadcasts nothing) so float-noise "corrections"
+    # never perturb downstream pose state (see Backend.optim_once)
+    assert not bk.optim_once()
+    np.testing.assert_allclose(bk.last_delta, np.eye(4), atol=1e-6)
+    # poses and odom2map untouched
     np.testing.assert_allclose(
         mm.kf_obj.keyframes[1].pose[:3, 3], [2, 0, 0], atol=1e-3)
     o2m = fe.odom2map.load()
