@@ -108,43 +108,3 @@ def test_sharded_ndt_vgicp_match_single_device(reg_fixture):
         np.testing.assert_allclose(np.asarray(p_mesh)[:, :16],
                                    np.asarray(p_single)[:, :16],
                                    atol=5e-3, err_msg=kind)
-
-
-def test_dryrun_multichip_entrypoint():
-    import sys
-    sys.path.insert(0, "/root/repo")
-    import __graft_entry__ as ge
-
-    fn, args = ge.entry()
-    out = jax.jit(fn)(*args)
-    assert np.isfinite(np.asarray(out)).all()
-    ge.dryrun_multichip(8)
-
-
-def test_sharded_posegraph_matches_single_device():
-    """Edge-sharded BA must agree with the single-device solve."""
-    import jax
-    from jax.sharding import Mesh
-    from simpleslam_tpu.parallel import dist_posegraph as dpg
-    from simpleslam_tpu.ops import posegraph as pgo
-
-    devs = np.array(jax.devices()[:8])
-    mesh = Mesh(devs, ("kf",))
-    g = dpg._ring_graph(k=24, k_cap=32, e_cap=64, drift=0.05)
-
-    single = pgo.solve(g, max_iters=8, cg_iters=48)
-    fn = dpg.sharded_solve(mesh, axis="kf", max_iters=8, cg_iters=48)
-    sharded = fn(g)
-
-    assert float(sharded.cost) < float(sharded.cost0) * 1e-2
-    np.testing.assert_allclose(np.asarray(sharded.poses)[:24, :3, 3],
-                               np.asarray(single.poses)[:24, :3, 3], atol=1e-2)
-
-
-def test_dist_posegraph_dryrun():
-    import jax
-    from jax.sharding import Mesh
-    from simpleslam_tpu.parallel import dist_posegraph as dpg
-
-    mesh = Mesh(np.array(jax.devices()[:8]), ("kf",))
-    dpg.dryrun(mesh)
