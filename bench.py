@@ -60,7 +60,11 @@ def run_config(name, cfg, streams, sim, app, run_streamed, warmup, probe_n):
     Params.load(cfg)
     system = app.SlamSystem()
     t0 = time.perf_counter()
-    # warmup: compiles every program of this config
+    # warmup: compiles every program of this config. (No system.prewarm()
+    # here: these 150-scan worlds never produce an accepted closure, so the
+    # solve/verify programs it would compile never run — the no-op-solve
+    # skip in Backend.optim_once means a consistent graph never solves at
+    # all. The longrun config, where closures ARE the workload, prewarms.)
     run_streamed(system, _subseq(streams, sim, 0, warmup),
                  sync_every=sync_every)
     warmup_s = time.perf_counter() - t0
@@ -259,9 +263,14 @@ def run_longrun(sim, app, run_streamed, n_scans=1536):
                              "lc": {"enable": True,
                                     "maxCorrectionMeters": 3.0}},
                  "frontend": {"pcr": "loam"},
-                 "tpu": {"sync_backend": True}})
+                 # kf_bucket 512: ~370 keyframes are known up front at this
+                 # workload scale; starting at the production bucket (plus
+                 # prewarm below) keeps the bucket-growth recompile/cache
+                 # load off the mid-run critical path entirely
+                 "tpu": {"sync_backend": True, "kf_bucket": 512}})
     system = app.SlamSystem()
     warm = 32
+    system.prewarm()
     run_streamed(system, _subseq(streams, sim, 0, warm))
     rss0 = _rss_mb()
     t0 = time.perf_counter()

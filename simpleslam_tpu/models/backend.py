@@ -128,6 +128,27 @@ class Backend:
         self.n_lc_edges = 0  # accepted loop-closure factors (observability)
         self.prior_pose: Optional[np.ndarray] = None
         self._lock = threading.Lock()
+        # Whether the graph can have nonzero residual at the current
+        # estimate. Odometry-only graphs built in-session are EXACTLY
+        # consistent by construction: every between factor is computed from
+        # the very poses it constrains (add_odom_factor), correction
+        # broadcasts rewrite all keyframes rigidly (relative poses
+        # preserved), and the node-0 prior only ever matches the solve
+        # write-back that respects it — so chi2 == 0 and dx == 0
+        # identically, and the solve is a provable no-op (the existing
+        # moved < 1e-4 short-circuit confirms this at runtime, after paying
+        # for the solve). Loop-closure factors and graphs reloaded from g2o
+        # are the only stress sources — plus one conservative trigger: a
+        # SECOND edge on an (i, j) pair may have been measured at different
+        # poses than the first (an event re-fire after external pose edits)
+        # and the two can disagree; duplicates mark the graph stressed.
+        # Until a stress source exists, optim_once skips the solve
+        # round-trip entirely. Once stressed, always stressed: an actual
+        # solve moves poses non-rigidly, leaving older factors with real
+        # residual forever after.
+        self._graph_stressed = False
+        self._edge_pairs: set = set()
+        self.n_skipped_noop_solves = 0
 
         # device-resident factor graph (iSAM2 incrementality role): built
         # once, then per event only NEW keyframe poses / edges are written
@@ -145,6 +166,9 @@ class Backend:
             self.lg.error("factor graph edge capacity (%d) exceeded, dropping edge!",
                           self.e_cap)
             return
+        if (i, j) in self._edge_pairs:
+            self._graph_stressed = True  # duplicate pair: may disagree
+        self._edge_pairs.add((i, j))
         self.edge_i.append(i)
         self.edge_j.append(j)
         self.edge_T.append(T_ij.copy())
@@ -176,6 +200,8 @@ class Backend:
             n0 = len(self.edge_i)
             self._add_between(r.from_idx, r.to_idx, r.between, LC_VAR)
             self.n_lc_edges += len(self.edge_i) - n0
+            if len(self.edge_i) > n0:
+                self._graph_stressed = True
 
     # -- the optimization pass (Backend.cpp:270-346) --------------------------
     def optim_once(self, pre_fetch_hook=None) -> bool:
@@ -202,6 +228,16 @@ class Backend:
             kf_poses = [kf.pose.copy() for kf in self.kf_obj.keyframes]
 
         if not kf_poses or self.prior_pose is None:
+            return False
+        if not self._graph_stressed:
+            # provable no-op (see _graph_stressed): skip the solve's
+            # dispatch + fetch round-trips, but still fire the hook so the
+            # loop-closure retrieval dispatch it carries is not lost
+            if pre_fetch_hook is not None:
+                pre_fetch_hook()
+            self.n_skipped_noop_solves += 1
+            self.last_delta = np.eye(4)
+            self.last_kf_count = len(kf_poses)
             return False
         opt = self._solve(kf_poses, strong=bool(event & KFEvent.LC),
                           pre_fetch_hook=pre_fetch_hook)
@@ -437,5 +473,47 @@ class Backend:
         for i, j, T, info in edges:
             var = 1.0 / np.clip(np.diag(info), 1e-12, None)
             self._add_between(int(i), int(j), T, var)
+        if edges:
+            # a reloaded graph's consistency cannot be assumed (it may carry
+            # loop-closure factors or file-precision stress) — always solve
+            self._graph_stressed = True
         self.lg.info("reloaded factor graph: %d vertices, %d edges",
                      len(poses), len(edges))
+
+    # -- startup pre-compilation ----------------------------------------------
+    def prewarm(self) -> None:
+        """Compile (or load from the persistent cache) the solve programs
+        for the CURRENT bucket sizes before the stream starts.
+
+        Without this, the first keyframe event after a bucket growth — or
+        the first loop-closure event (the strong-iteration program) — pays
+        the XLA compile/cache-load stall mid-run, on the critical path
+        (measured: ~5 s per cache load, minutes per cold compile through
+        the TPU tunnel). The reference's analogue is GTSAM/PCL doing their
+        allocations at construction time."""
+        kc, ec = self._k_bucket, self._e_bucket
+        eye = np.eye(4, dtype=np.float32)
+        g = pgo.PoseGraph(
+            poses=jnp.asarray(np.tile(eye, (kc, 1, 1))),
+            kf_mask=jnp.asarray(np.arange(kc) < 2),
+            edge_i=jnp.zeros(ec, jnp.int32),
+            edge_j=jnp.asarray((np.arange(ec) < 1).astype(np.int32)),
+            edge_T=jnp.asarray(np.tile(eye, (ec, 1, 1))),
+            edge_info=jnp.asarray(np.ones((ec, 6), np.float32)),
+            edge_mask=jnp.asarray(np.arange(ec) < 1),
+            prior_pose=jnp.asarray(eye),
+            prior_info=jnp.asarray(np.ones(6, np.float32)))
+        for iters in (4, 12):  # the weak- and strong-event programs
+            if self._mesh is not None:
+                fn = self._sharded_solvers.get(iters)
+                if fn is None:
+                    from ..parallel.dist_posegraph import sharded_solve
+
+                    fn = sharded_solve(self._mesh, axis="kf",
+                                       max_iters=iters, cg_iters=64)
+                    self._sharded_solvers[iters] = fn
+                res = fn(g)
+            else:
+                res = pgo.solve(g, max_iters=iters, cg_iters=64)
+            np.asarray(_pack_solve(res.poses, res.cost0, res.cost,
+                                   res.iters))

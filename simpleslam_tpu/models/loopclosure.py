@@ -115,6 +115,24 @@ class LoopClosureManager:
     def n_contexts(self) -> int:
         return self.context.n_contexts
 
+    def prewarm(self) -> None:
+        """Compile (or cache-load) the verification programs up front.
+
+        The VGICP verify chain (build_target + align + fitness) only
+        compiles at the FIRST retrieval candidate — deep into a session, on
+        the critical path (measured ~10 s of persistent-cache loads, minutes
+        cold through the TPU tunnel). Run it once on synthetic data at the
+        production capacities before the stream starts."""
+        rng = np.random.default_rng(0)
+        cap = int(Params.get_instance()["tpu"]["submap_capacity"])
+        sub = rng.uniform(-20.0, 20.0, (4096, 3)).astype(np.float32)
+        src = sub[:1024] + rng.normal(0.0, 0.02, (1024, 3)).astype(np.float32)
+        target = self.register.build_target(
+            pcops.from_numpy(sub, cap), jnp.zeros(3, jnp.float32))
+        self.register.scan2map(
+            pcops.from_numpy(src, self._ctx_capacity), target, np.eye(4))
+        self.register.get_fitness_score()
+
     # -- context ingestion (LoopClosureManager.cpp:28-37; call under kf lock) --
     def add_context(self) -> None:
         kfs = self.kf_obj.keyframes

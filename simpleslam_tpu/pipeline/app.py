@@ -88,6 +88,17 @@ class SlamSystem:
             self.loop_closure = lcm
             self.backend = Backend(self.frontend, self.map_manager, lcm)
 
+    def prewarm(self) -> None:
+        """Pre-compile (or persistent-cache-load) the event-driven device
+        programs — the pose-graph solves at the current bucket sizes and
+        the loop-closure verification chain — so they never stall the
+        stream mid-session (first bucket growth / first LC candidate
+        otherwise pays the compile on the critical path)."""
+        if self.backend is not None:
+            self.backend.prewarm()
+        if self.loop_closure is not None:
+            self.loop_closure.prewarm()
+
     def shutdown(self) -> None:
         """Save artifacts (Backend dtor + MapManager semantics)."""
         if self.backend is not None:
@@ -244,6 +255,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                                         seed=args.seed)
         has_gt = True
     system = SlamSystem()
+    system.prewarm()  # event-driven programs compile before the stream
     tt = TicToc()
     with trace(args.trace):
         if args.streamed:

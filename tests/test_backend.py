@@ -96,6 +96,59 @@ def test_solver_corrects_inconsistent_estimates(small_caps):
     assert abs(p2[0] - 4.0) < 0.5 and abs(p2[1]) < 0.4
 
 
+def test_noop_solve_skip_and_stress_triggers(small_caps):
+    """Odometry-only in-session graphs are exactly consistent, so the solve
+    round-trip is skipped; a duplicate (i, j) edge — the one in-session way
+    consistency can break — re-arms it (see Backend._graph_stressed)."""
+    fe, mm, bk = _mk_system(small_caps)
+    _push_kf(mm, 0.0, _pose(0, 0))
+    _push_kf(mm, 1.0, _pose(2, 0))
+    assert not bk.optim_once()
+    assert bk.n_skipped_noop_solves == 1  # no dispatch at all
+    _push_kf(mm, 2.0, _pose(4, 0))
+    mm.kf_obj.new_kf_is_coming()
+    bk.optim_once()
+    assert bk.n_skipped_noop_solves == 2
+
+    # duplicate-pair stress: corrupt a pose, re-fire its event (the edge
+    # re-measures at the corrupt pose and disagrees with the older edge)
+    with mm.kf_obj.lock:
+        mm.kf_obj.keyframes[2].pose = _pose(4.6, 0.4)
+        mm.kf_obj.kf_nums = 2
+    mm.kf_obj.closest_kf_idx.append(1)
+    mm.kf_obj.new_kf_is_coming()
+    bk.optim_once()
+    assert bk._graph_stressed
+    assert bk.n_skipped_noop_solves == 2  # this event actually solved
+    p2 = mm.kf_obj.keyframes[2].pose[:3, 3]
+    assert abs(p2[0] - 4.0) < 0.5  # and the solve pulled the pose back
+
+
+def test_g2o_reload_marks_graph_stressed(tmp_path, small_caps):
+    cfg = Params.get_instance()
+    cfg["saveMapDir"] = str(tmp_path)
+    Params.load(cfg)
+    fe, mm, bk = _mk_system(small_caps)
+    _push_kf(mm, 0.0, _pose(0, 0))
+    _push_kf(mm, 1.0, _pose(2, 0))
+    bk.optim_once()
+    bk.save()
+    reg2 = LoamRegister()
+    mm2 = MapManager(reg2)
+    bk2 = Backend(Frontend(), mm2, None)
+    # a reloaded graph's consistency cannot be assumed: always solve
+    assert bk2._graph_stressed
+
+
+def test_prewarm_compiles_solver(small_caps):
+    fe, mm, bk = _mk_system(small_caps)
+    bk.prewarm()  # must not raise, nor touch graph state
+    assert bk._g is None
+    _push_kf(mm, 0.0, _pose(0, 0))
+    _push_kf(mm, 1.0, _pose(2, 0))
+    assert not bk.optim_once()  # behavior unchanged after prewarm
+
+
 def test_g2o_save_reload(tmp_path, small_caps):
     cfg = Params.get_instance()
     cfg["saveMapDir"] = str(tmp_path)
